@@ -1,1 +1,60 @@
-"""(populated incrementally)"""
+"""L3 — DSP filters: RBJ biquads, cascades/banks, all-pass, fractional delay.
+
+TPU-native reimagining of the reference's filter layer (ref: src/BiQuad.*,
+src/AllPassFilter.h, src/FractionalSample.*): per-sample recurrences become
+associative scans, channel loops become batched axes, SSE intrinsics become
+VPU-vectorised XLA ops (SURVEY.md §7).
+"""
+
+from .biquad import (
+    FilterType,
+    biquad_coeffs,
+    biquad_response,
+    cascade_response,
+    design_bank,
+)
+from .iir import biquad_apply, biquad_ssm, cascade_apply, interp_trajectory
+from .bank import (
+    BankState,
+    BiQuadBlock,
+    BiQuadCascade,
+    BiQuadFilterBank,
+    bank_init,
+    bank_process,
+    bank_set_stage,
+)
+from .allpass import AllPassFilter, AllPassFilterChain, allpass_apply
+from .fractional import (
+    ADDITIONAL_DELAY,
+    FractionalDelayLine,
+    additional_delay_required,
+    fractional_read,
+)
+from .manager import FilterManager
+
+__all__ = [
+    "FilterType",
+    "biquad_coeffs",
+    "biquad_response",
+    "cascade_response",
+    "design_bank",
+    "biquad_apply",
+    "biquad_ssm",
+    "cascade_apply",
+    "interp_trajectory",
+    "BankState",
+    "BiQuadBlock",
+    "BiQuadCascade",
+    "BiQuadFilterBank",
+    "bank_init",
+    "bank_process",
+    "bank_set_stage",
+    "AllPassFilter",
+    "AllPassFilterChain",
+    "allpass_apply",
+    "ADDITIONAL_DELAY",
+    "FractionalDelayLine",
+    "additional_delay_required",
+    "fractional_read",
+    "FilterManager",
+]

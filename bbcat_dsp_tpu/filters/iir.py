@@ -1,0 +1,515 @@
+"""TPU IIR engine: biquads and cascades as parallel scans.
+
+The reference computes biquads with a per-sample sequential DF2T recurrence
+(ref: src/BiQuad.h:200-206) — inherently serial in time.  On TPU that would
+leave the VPU idle; this module reformulates the recurrence as an affine
+state-space scan that parallelises over time (SURVEY.md §7 hard part #1):
+
+DF2T:  y[n] = b0*x[n] + w0[n-1]
+       w0[n] = b1*x[n] - a1*y[n] + w1[n-1]
+       w1[n] = b2*x[n] - a2*y[n]
+
+Substituting y[n] gives the linear state recurrence  s[n] = A s[n-1] + B x[n]
+with  s = [w0, w1],  A = [[-a1, 1], [-a2, 0]],  B = [b1 - a1*b0, b2 - a2*b0],
+and the output  y[n] = b0*x[n] + s[n-1][0].
+
+Affine maps compose associatively — (A2, v2) ∘ (A1, v1) = (A2 A1, A2 v1 + v2)
+— so the whole time axis runs through ``jax.lax.associative_scan`` in
+O(log T) depth on the VPU.  A sequential ``lax.scan`` engine is kept as the
+correctness anchor and for tiny blocks.
+
+Three engines, selected by precision/structure trade-off:
+
+* ``"modal"`` (default for time-invariant coefficients): the numerically
+  robust path.  The companion-form scan above loses precision for poles near
+  the unit circle (float32 products of non-normal 2x2 matrices with
+  transient growth cap SNR near 50 dB for RLB-style filters).  Instead the
+  biquad is factored into its poles:  numerator FIR first
+  (``v[n] = d1*x[n-1] + d2*x[n-2]`` keeps every internal signal bounded by
+  the filter's own response), then two first-order complex-pole recurrences
+  ``t[n] = p1*t[n-1] + v[n]``, ``w[n] = p2*w[n-1] + t[n]``,
+  ``y[n] = b0*x[n] + Re(w[n])``.  Scalar complex pole products are perfectly
+  conditioned (|p| <= 1, no non-normal growth), measured 96-145 dB SNR in
+  float32 across all RBJ types including double-pole HPF12 at 80 Hz and the
+  BS.1770 RLB filter.  Poles are computed from the coefficients on the host
+  in float64 (design-time), avoiding the sqrt cancellation of float32 root
+  finding.
+
+* ``"assoc"``: the companion-form parallel scan — required for per-sample
+  TIME-VARYING coefficients (the reference's click-free coefficient
+  interpolation, ref: src/BiQuad.cpp:379-395, 473-494), where A and B vary
+  per sample and pole factorisation would change the (realization-dependent)
+  transient semantics.  Ramps are short transients, so the companion form's
+  precision is sufficient there.
+
+* ``"scan"``: the literal sequential DF2T tick via ``lax.scan`` — the
+  correctness anchor.
+
+All engines operate on ``[..., T]`` arrays (leading dims = channels / banks,
+batched on the VPU lanes) with explicit state pytrees.  Composition
+arithmetic is explicitly elementwise (never ``einsum``/``dot``) so nothing
+is routed to the MXU, whose default bf16 operand rounding would cap SNR
+near 30 dB.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "biquad_ssm",
+    "biquad_apply",
+    "cascade_apply",
+    "interp_trajectory",
+    "ModalParams",
+    "ModalState",
+    "modal_params",
+    "modal_apply",
+    "modal_init",
+]
+
+
+class ModalParams(NamedTuple):
+    """Pole-factored biquad parameters (host-designed, see module doc)."""
+
+    b0: jax.Array   # [...] direct gain
+    d1: jax.Array   # [...] numerator FIR tap 1 (= b1 - a1*b0)
+    d2: jax.Array   # [...] numerator FIR tap 2 (= b2 - a2*b0)
+    p1r: jax.Array  # [...] pole 1 (real, imag)
+    p1i: jax.Array
+    p2r: jax.Array  # [...] pole 2 (real, imag)
+    p2i: jax.Array
+
+
+class ModalState(NamedTuple):
+    """Streaming state of the modal realization: input history + the two
+    complex one-pole states."""
+
+    x1: jax.Array  # x[n-1]
+    x2: jax.Array  # x[n-2]
+    tr: jax.Array  # t (complex) after pole 1
+    ti: jax.Array
+    wr: jax.Array  # w (complex) after pole 2
+    wi: jax.Array
+
+
+def modal_params(coeffs, dtype=jnp.float32) -> ModalParams:
+    """Factor ``[..., 5]`` host coefficients into poles + numerator FIR.
+
+    Root-finding runs in float64 on the host (design time): float32 quadratic
+    roots would suffer sqrt cancellation for near-repeated poles.
+    """
+    c = np.asarray(coeffs, np.float64)
+    b0, b1, b2, a1, a2 = np.moveaxis(c, -1, 0)
+    d1 = b1 - a1 * b0
+    d2 = b2 - a2 * b0
+    disc = a1 * a1 - 4.0 * a2
+    sq = np.sqrt(disc.astype(np.complex128))
+    p1 = (-a1 + sq) / 2.0
+    p2 = (-a1 - sq) / 2.0
+    as_ = lambda v: jnp.asarray(v, dtype)  # noqa: E731
+    return ModalParams(
+        b0=as_(b0), d1=as_(d1), d2=as_(d2),
+        p1r=as_(p1.real), p1i=as_(p1.imag),
+        p2r=as_(p2.real), p2i=as_(p2.imag),
+    )
+
+
+def modal_init(params: ModalParams, batch_shape=(), dtype=jnp.float32) -> ModalState:
+    shape = jnp.broadcast_shapes(batch_shape, params.b0.shape)
+    z = jnp.zeros(shape, dtype)
+    return ModalState(z, z, z, z, z, z)
+
+
+def _cpx_affine_scan(ar, ai, vr, vi, s0r, s0i):
+    """Inclusive scan of ``s[n] = a[n]*s[n-1] + v[n]`` (complex, elementwise),
+    time on axis 0.  Returns the full complex trajectory ``s[0..T-1]``."""
+
+    def compose(f, g):
+        far, fai, fvr, fvi = f
+        gar, gai, gvr, gvi = g
+        return (
+            gar * far - gai * fai,
+            gar * fai + gai * far,
+            gar * fvr - gai * fvi + gvr,
+            gar * fvi + gai * fvr + gvi,
+        )
+
+    car, cai, cvr, cvi = jax.lax.associative_scan(
+        compose, (ar, ai, vr, vi), axis=0
+    )
+    sr = car * s0r - cai * s0i + cvr
+    si = car * s0i + cai * s0r + cvi
+    return sr, si
+
+
+@jax.jit
+def modal_apply(x: jax.Array, params: ModalParams, state: ModalState | None = None):
+    """Run a (time-invariant) biquad in the modal realization over
+    ``x[..., T]``.  Returns ``(y, new_state)``; T must be >= 2."""
+    T = x.shape[-1]
+    if state is None:
+        state = modal_init(params, x.shape[:-1], x.dtype)
+    xt = jnp.moveaxis(x, -1, 0)  # [T, ...]
+    b = jnp.broadcast_shapes(x.shape[:-1], params.b0.shape)
+    full = (T,) + b
+
+    xm1 = jnp.concatenate([jnp.broadcast_to(state.x1, (1,) + b), xt[:-1]], 0)
+    xm2 = jnp.concatenate(
+        [jnp.broadcast_to(state.x2, (1,) + b),
+         jnp.broadcast_to(state.x1, (1,) + b), xt[:-2]], 0
+    )
+    v = params.d1 * xm1 + params.d2 * xm2  # [T, ...] real
+
+    tr, ti = _cpx_affine_scan(
+        jnp.broadcast_to(params.p1r, full), jnp.broadcast_to(params.p1i, full),
+        v, jnp.zeros_like(v), state.tr, state.ti,
+    )
+    wr, wi = _cpx_affine_scan(
+        jnp.broadcast_to(params.p2r, full), jnp.broadcast_to(params.p2i, full),
+        tr, ti, state.wr, state.wi,
+    )
+    y = params.b0 * xt + wr
+    new_state = ModalState(
+        x1=xt[-1] + jnp.zeros(b, x.dtype), x2=xm1[-1] + jnp.zeros(b, x.dtype),
+        tr=tr[-1], ti=ti[-1], wr=wr[-1], wi=wi[-1],
+    )
+    return jnp.moveaxis(y, 0, -1), new_state
+
+
+@jax.jit
+def modal_from_df2t(params: ModalParams, w_state: jax.Array) -> ModalState:
+    """Exact DF2T -> modal state conversion.
+
+    Given the companion/DF2T w-registers ``[..., 2]`` (ref: src/BiQuad.h:240)
+    and the stage's (time-invariant) :class:`ModalParams`, produce the
+    :class:`ModalState` whose zero-input response matches the DF2T state's —
+    so a stream can switch realizations (e.g. at the end of a coefficient
+    ramp) without a click.
+
+    Derivation: the DF2T free decay is ``y[n] = c1*p1^n + c2*p2^n`` with
+    ``y[0] = w0``, ``y[1] = -a1*w0 + w1``; the modal free decay (with zeroed
+    FIR history) is ``Re(alpha*p1^n + beta*p2^n)`` with
+    ``alpha = T0*p1^2/(p1-p2)``, ``beta = p2*W0 - T0*p1*p2/(p1-p2)``.
+    Matching: complex-conjugate poles take ``alpha=2*c1, beta=0``; real
+    distinct poles take ``alpha=c1, beta=c2``; repeated/zero poles use the
+    degenerate limits.
+    """
+    w0 = w_state[..., 0]
+    w1 = w_state[..., 1]
+    p1 = params.p1r + 1j * params.p1i
+    p2 = params.p2r + 1j * params.p2i
+    a1 = -(p1 + p2).real
+    y0 = w0
+    y1 = -a1 * w0 + w1
+
+    tol = 1e-6
+    dp = p1 - p2
+    dp_safe = jnp.where(jnp.abs(dp) < tol, 1.0, dp)
+    p1_safe = jnp.where(jnp.abs(p1) < tol, 1.0, p1)
+    p2_safe = jnp.where(jnp.abs(p2) < tol, 1.0, p2)
+
+    c1 = (y1 - p2 * y0) / dp_safe
+    c2 = (y1 - p1 * y0) / -dp_safe
+
+    is_cplx = jnp.abs(params.p1i) > 0
+    # complex-conjugate pair
+    T0_c = 2.0 * c1 * dp / (p1_safe * p1_safe)
+    W0_c = 2.0 * c1 / p1_safe
+    # real distinct poles
+    T0_r = c1 * dp / (p1_safe * p1_safe)
+    W0_r = c2 / p2_safe + c1 / p1_safe
+    # repeated real pole p: y = (g0 + g1*n) p^n
+    p = params.p1r
+    prs = jnp.where(jnp.abs(p) < tol, 1.0, p)
+    g1 = y1 / prs - y0
+    T0_rep = (g1 / prs).astype(p1.dtype)
+    W0_rep = ((y0 - g1) / prs).astype(p1.dtype)
+    # p2 == 0 (single-pole filter): w1 is structurally 0, y decays as p1^n
+    T0_z = (y0 / p1_safe).astype(p1.dtype)
+    W0_z = jnp.zeros_like(T0_z)
+
+    near_rep = (~is_cplx) & (jnp.abs(dp) < tol)
+    p2_zero = jnp.abs(p2) < tol
+    T0 = jnp.where(is_cplx, T0_c, jnp.where(near_rep, T0_rep, T0_r))
+    W0 = jnp.where(is_cplx, W0_c, jnp.where(near_rep, W0_rep, W0_r))
+    T0 = jnp.where(p2_zero, T0_z, T0)
+    W0 = jnp.where(p2_zero, W0_z, W0)
+    all_zero = jnp.abs(p1) < tol
+    T0 = jnp.where(all_zero, 0.0, T0)
+    W0 = jnp.where(all_zero, 0.0, W0)
+
+    z = jnp.zeros_like(w0)
+    return ModalState(
+        x1=z, x2=z,
+        tr=T0.real.astype(w0.dtype), ti=T0.imag.astype(w0.dtype),
+        wr=W0.real.astype(w0.dtype), wi=W0.imag.astype(w0.dtype),
+    )
+
+
+def biquad_ssm(coeffs: jax.Array):
+    """Split ``[..., 5]`` coefficients into the state-space form.
+
+    Returns ``(A, B, b0)`` with shapes ``[..., 2, 2]``, ``[..., 2]``,
+    ``[...]``.
+    """
+    b0, b1, b2, a1, a2 = jnp.moveaxis(coeffs, -1, 0)
+    one = jnp.ones_like(a1)
+    zero = jnp.zeros_like(a1)
+    A = jnp.stack(
+        [jnp.stack([-a1, one], -1), jnp.stack([-a2, zero], -1)], -2
+    )
+    B = jnp.stack([b1 - a1 * b0, b2 - a2 * b0], -1)
+    return A, B, b0
+
+
+def _coef_t(coeffs, T, time_varying, batch_ndim):
+    """Per-sample coefficient tuples, time leading: five ``[T, *ones, *cb]``
+    arrays shaped so the coefficient batch dims right-align against an
+    ``[T, *batch]`` data array of ``batch_ndim`` batch dims."""
+    if time_varying:
+        c = jnp.moveaxis(coeffs, -2, 0)  # [T, *cb, 5]
+        rows = tuple(jnp.moveaxis(c, -1, 0))  # 5 x [T, *cb]
+        cb = coeffs.shape[:-2]
+    else:
+        rows = tuple(
+            jnp.broadcast_to(coeffs[..., k], (T,) + coeffs.shape[:-1])
+            for k in range(5)
+        )
+        cb = coeffs.shape[:-1]
+    pad = (1,) * (batch_ndim - len(cb))
+    return tuple(r.reshape((T,) + pad + cb) for r in rows)
+
+
+def _apply_scan(x, coeffs, state, time_varying):
+    """Sequential engine: lax.scan of the literal DF2T tick over time
+    (ref: src/BiQuad.h:200-206) — the correctness anchor."""
+
+    def step(s, inp):
+        xn, b0, b1, b2, a1, a2 = inp
+        w0, w1 = s[..., 0], s[..., 1]
+        y = b0 * xn + w0
+        w0n = b1 * xn - a1 * y + w1
+        w1n = b2 * xn - a2 * y
+        return jnp.stack([w0n, w1n], axis=-1), y
+
+    T = x.shape[-1]
+    ins = (jnp.moveaxis(x, -1, 0),) + _coef_t(coeffs, T, time_varying, x.ndim - 1)
+    state, ys = jax.lax.scan(step, state, ins)
+    return jnp.moveaxis(ys, 0, -1), state
+
+
+def _apply_assoc(x, coeffs, state, time_varying):
+    """Parallel engine: associative scan over affine maps (O(log T) depth).
+
+    The 2x2 map composition is written as explicit elementwise arithmetic —
+    NOT einsum/dot — so on TPU it runs entirely on the VPU in float32.
+    (Tiny matmuls would be routed to the MXU, whose default bf16 operand
+    precision caps SNR near 30 dB.)
+    """
+    T = x.shape[-1]
+    b0, b1, b2, a1, a2 = _coef_t(coeffs, T, time_varying, x.ndim - 1)
+    xt = jnp.moveaxis(x, -1, 0)
+    # s[n] = A s[n-1] + B x[n];  A = [[-a1, 1], [-a2, 0]],
+    # B = [b1 - a1*b0, b2 - a2*b0]
+    v1 = (b1 - a1 * b0) * xt
+    v2 = (b2 - a2 * b0) * xt
+    full = v1.shape  # [T, *batch] — all scan elements must share this shape
+    elem = (
+        jnp.broadcast_to(-a1, full),
+        jnp.broadcast_to(jnp.ones_like(a1), full),
+        jnp.broadcast_to(-a2, full),
+        jnp.broadcast_to(jnp.zeros_like(a1), full),
+        v1,
+        v2,
+    )
+
+    def compose(f, g):
+        # g ∘ f (f earlier): A = Ag Af, v = Ag vf + vg — elementwise 2x2.
+        f11, f12, f21, f22, fv1, fv2 = f
+        g11, g12, g21, g22, gv1, gv2 = g
+        return (
+            g11 * f11 + g12 * f21,
+            g11 * f12 + g12 * f22,
+            g21 * f11 + g22 * f21,
+            g21 * f12 + g22 * f22,
+            g11 * fv1 + g12 * fv2 + gv1,
+            g21 * fv1 + g22 * fv2 + gv2,
+        )
+
+    # Hierarchical two-level scan for float32 robustness: the associative
+    # scan runs within chunks of K samples (error ~ K*eps), and chunk-to-
+    # chunk state propagates through a short sequential lax.scan (error like
+    # the sequential engine).  A flat full-length scan would accumulate
+    # error over products of thousands of non-normal matrices.
+    K = min(64, T)
+    pad = (-T) % K
+    if pad:
+        ident = (
+            jnp.ones_like(elem[0][:pad]), jnp.zeros_like(elem[0][:pad]),
+            jnp.zeros_like(elem[0][:pad]), jnp.ones_like(elem[0][:pad]),
+            jnp.zeros_like(elem[0][:pad]), jnp.zeros_like(elem[0][:pad]),
+        )
+        elem = tuple(jnp.concatenate([e, i], 0) for e, i in zip(elem, ident))
+    nc = (T + pad) // K
+    batch = elem[0].shape[1:]
+    chunked = tuple(e.reshape((nc, K) + batch) for e in elem)
+    c11, c12, c21, c22, cv1, cv2 = jax.lax.associative_scan(
+        compose, chunked, axis=1
+    )
+
+    def outer(carry, tot):
+        s1c, s2c = carry
+        t11, t12, t21, t22, tv1, tv2 = tot
+        return (
+            (t11 * s1c + t12 * s2c + tv1, t21 * s1c + t22 * s2c + tv2),
+            carry,
+        )
+
+    totals = (c11[:, -1], c12[:, -1], c21[:, -1], c22[:, -1],
+              cv1[:, -1], cv2[:, -1])
+    s0_1, s0_2 = state[..., 0], state[..., 1]
+    (_, _), (sin1, sin2) = jax.lax.scan(outer, (s0_1, s0_2), totals)
+    # s[n] within chunk m relative to that chunk's incoming state
+    s1 = c11 * sin1[:, None] + c12 * sin2[:, None] + cv1
+    s2 = c21 * sin1[:, None] + c22 * sin2[:, None] + cv2
+    w0_prev_in = jnp.concatenate([sin1[:, None], s1[:, :-1]], axis=1)
+    w0_prev = w0_prev_in.reshape((nc * K,) + batch)[:T]
+    s1f = s1.reshape((nc * K,) + batch)
+    s2f = s2.reshape((nc * K,) + batch)
+    y = b0 * xt + w0_prev
+    new_state = jnp.stack([s1f[T - 1], s2f[T - 1]], axis=-1)
+    return jnp.moveaxis(y, 0, -1), new_state
+
+
+@partial(jax.jit, static_argnames=("engine", "time_varying"))
+def _biquad_companion(x, coeffs, state, engine, time_varying):
+    if state is None:
+        shape = jnp.broadcast_shapes(
+            x.shape[:-1],
+            coeffs.shape[:-2] if time_varying else coeffs.shape[:-1],
+        )
+        state = jnp.zeros(shape + (2,), x.dtype)
+    if engine == "assoc":
+        return _apply_assoc(x, coeffs, state, time_varying)
+    if engine == "scan":
+        return _apply_scan(x, coeffs, state, time_varying)
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def biquad_apply(
+    x: jax.Array,
+    coeffs,
+    state=None,
+    engine: str = "auto",
+):
+    """Run one biquad over ``x[..., T]``.
+
+    ``coeffs`` is ``[..., 5]`` (static), ``[..., T, 5]`` (per-sample,
+    time-varying — e.g. from :func:`interp_trajectory`), or a pre-factored
+    :class:`ModalParams`.  ``engine``:
+
+    * ``"auto"`` — modal for time-invariant host coefficients, companion
+      assoc otherwise (module docstring rationale).
+    * ``"modal"`` / ``"assoc"`` / ``"scan"`` — forced.
+
+    The state pytree is ``[..., 2]`` w-registers for companion engines
+    (ref: src/BiQuad.h:240) or :class:`ModalState` for modal; streaming
+    callers just thread whatever was returned.  Returns ``(y, new_state)``.
+    """
+    if isinstance(coeffs, ModalParams):
+        if engine not in ("auto", "modal"):
+            raise ValueError("ModalParams requires the modal engine")
+        return modal_apply(x, coeffs, state)
+    time_varying = coeffs.ndim == x.ndim + 1 and coeffs.shape[-2] == x.shape[-1]
+    if engine == "auto":
+        if not time_varying and not isinstance(coeffs, jax.core.Tracer):
+            engine = "modal"
+        else:
+            engine = "assoc"
+    if engine == "modal":
+        if time_varying:
+            raise ValueError("modal engine requires time-invariant coeffs")
+        return modal_apply(x, modal_params(coeffs, _dtype_of(x)), state)
+    return _biquad_companion(x, coeffs, state, engine, time_varying)
+
+
+def _dtype_of(x):
+    return getattr(x, "dtype", jnp.float32)
+
+
+def cascade_apply(
+    x: jax.Array,
+    coeffs,
+    states=None,
+    engine: str = "auto",
+    systolic: bool = False,
+):
+    """Serial biquad cascade: ``coeffs[S, ..., 5]`` stages applied in order
+    (ref: src/BiQuad.cpp:639-662 stage-serial processing; src/BiQuad.h:698-711
+    serial cascade).
+
+    ``systolic=True`` reproduces the reference's vectorised-cascade semantics
+    (ref: src/BiQuad.h:591-624): every stage ticks on the previous output of
+    the stage before it, which is algebraically the serial cascade with one
+    sample of delay inserted between stages — output lags ``S-1`` samples.
+    On TPU the parallel-scan engine doesn't need that trick for speed, but
+    the mode is kept for bit-parity with reference configurations that used
+    it.
+
+    ``states`` is a list of per-stage state pytrees (engine-dependent; pass
+    back what was returned).  Returns ``(y, new_states)``.
+    """
+    S = coeffs.shape[0] if not isinstance(coeffs, ModalParams) else coeffs.b0.shape[0]
+    if states is None:
+        states = [None] * S
+
+    # unrolled python loop over stages: S is small & static; each stage is a
+    # full parallel scan over time, so the VPU stays busy.
+    new_states = []
+    y = x
+    for i in range(S):
+        if systolic and i > 0:
+            y = jnp.concatenate([jnp.zeros_like(y[..., :1]), y[..., :-1]], axis=-1)
+        ci = (
+            ModalParams(*(f[i] for f in coeffs))
+            if isinstance(coeffs, ModalParams) else coeffs[i]
+        )
+        y, s = biquad_apply(y, ci, states[i], engine=engine)
+        new_states.append(s)
+    return y, new_states
+
+
+def interp_trajectory(
+    current: jax.Array,
+    targets: jax.Array,
+    mul: jax.Array,
+    dec: jax.Array,
+    nframes: int,
+):
+    """Materialise the per-sample coefficient trajectory of the reference's
+    shared-controller interpolation over one block.
+
+    Contract (ref: src/BiQuad.cpp:75-102, 379-395; src/Interpolator.h:92-96):
+    ``diffs = targets - current_at_set_time``; frame ``n`` of the block uses
+    ``coeffs[n] = targets - mul_n * diffs`` where ``mul_0 = mul`` (the value
+    entering the block) and ``mul_{n+1} = max(mul_n - dec, 0)`` — all five
+    coefficients driven by ONE scalar so they land simultaneously
+    ("anti-go-bang", ref: src/Interpolator.h:92-96).  Interpolation happens
+    AFTER each processed frame (ref: src/BiQuad.cpp:482-493).
+
+    ``current`` here must be the coefficient vector from which ``diffs`` are
+    measured (i.e. the value when the target was set).  Returns
+    ``(coeffs[..., nframes, 5], new_mul)``.
+    """
+    diffs = targets - current
+    n = jnp.arange(nframes, dtype=targets.dtype)
+    muls = jnp.maximum(mul - dec * n, 0.0)  # mul entering frame n
+    coeffs = targets[..., None, :] - muls[:, None] * diffs[..., None, :]
+    new_mul = jnp.maximum(mul - dec * nframes, 0.0)
+    return coeffs, new_mul

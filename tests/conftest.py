@@ -17,8 +17,18 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize force-selects the TPU platform regardless of the
+# JAX_PLATFORMS env var; the config update below is the override that
+# actually sticks.  It must run before any backend is initialised.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture

@@ -1,0 +1,216 @@
+"""Filters vs golden oracle: biquads, cascades, interpolation, all-pass,
+fractional delay (SURVEY.md §4 test strategy)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bbcat_dsp_tpu import golden
+from bbcat_dsp_tpu.filters import (
+    FilterType,
+    biquad_coeffs,
+    biquad_apply,
+    cascade_apply,
+    bank_init,
+    bank_set_stage,
+    bank_process,
+    BiQuadFilterBank,
+    BiQuadCascade,
+    BiQuadBlock,
+    allpass_apply,
+    fractional_read,
+    cascade_response,
+)
+from conftest import snr_db
+
+FS = 48000.0
+
+ALL_TYPES = list(FilterType)
+
+
+@pytest.mark.parametrize("ftype", ALL_TYPES)
+def test_coeffs_match_golden(ftype):
+    c1 = biquad_coeffs(ftype, 1234.0, FS, gain=5.5, bandwidth=0.7)
+    c2 = golden.biquad_coeffs(ftype, 1234.0, FS, gain=5.5, bandwidth=0.7)
+    np.testing.assert_allclose(c1, c2, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("engine", ["scan", "assoc"])
+def test_biquad_vs_golden(rng, engine):
+    c = golden.biquad_coeffs(FilterType.PEQ, 1000, FS, gain=6, bandwidth=1)
+    x = rng.standard_normal(2048).astype(np.float32)
+    y_ref, _ = golden.biquad_process(x, c)
+    y, _ = biquad_apply(jnp.asarray(x), jnp.asarray(c, jnp.float32),
+                        engine=engine)
+    assert snr_db(y_ref, np.asarray(y)) > 90.0
+
+
+@pytest.mark.parametrize("engine", ["scan", "assoc"])
+def test_biquad_state_streaming(rng, engine):
+    """Block-wise streaming == one-shot (state carry correctness)."""
+    c = jnp.asarray(
+        golden.biquad_coeffs(FilterType.LSH, 300, FS, gain=-4), jnp.float32
+    )
+    x = rng.standard_normal((3, 1024)).astype(np.float32)
+    y_full, s_full = biquad_apply(jnp.asarray(x), c, engine=engine)
+    s = None
+    outs = []
+    for i in range(4):
+        y, s = biquad_apply(jnp.asarray(x[:, i * 256:(i + 1) * 256]), c, s,
+                            engine=engine)
+        outs.append(np.asarray(y))
+    y_stream = np.concatenate(outs, axis=1)
+    # scan is deterministic sample-serial; assoc reassociates across block
+    # boundaries, so consistency is float32-level rather than bitwise
+    assert snr_db(np.asarray(y_full), y_stream) > (120.0 if engine == "scan" else 80.0)
+    np.testing.assert_allclose(np.asarray(s_full), np.asarray(s), atol=1e-4)
+
+
+def test_high_q_filter_snr(rng):
+    """Poles near the unit circle (RLB-style a2~0.99) must still hit 90 dB
+    in float32 via the associative scan (SURVEY.md §7 hard part #1)."""
+    c = golden.k_weighting_coeffs(FS)[1]  # RLB high-pass, a2 = 0.99007...
+    x = rng.standard_normal(48000).astype(np.float32)
+    y_ref, _ = golden.biquad_process(x, c)
+    y, _ = biquad_apply(jnp.asarray(x), jnp.asarray(c, jnp.float32))
+    assert snr_db(y_ref, np.asarray(y)) > 90.0
+
+
+def test_cascade_vs_golden(rng):
+    coeffs = np.stack([
+        golden.biquad_coeffs(FilterType.HPF12, 80, FS),
+        golden.biquad_coeffs(FilterType.PEQ, 400, FS, gain=-3, bandwidth=1.5),
+        golden.biquad_coeffs(FilterType.PEQ, 2500, FS, gain=4, bandwidth=0.8),
+        golden.biquad_coeffs(FilterType.HSH, 9000, FS, gain=2),
+    ])
+    x = rng.standard_normal(4096).astype(np.float32)
+    y_ref, _ = golden.cascade_process(x, coeffs)
+    y, _ = cascade_apply(jnp.asarray(x), jnp.asarray(coeffs, jnp.float32))
+    assert snr_db(y_ref, np.asarray(y)) > 90.0
+
+
+def test_cascade_systolic_is_delayed_serial(rng):
+    """Systolic mode == serial cascade delayed by S-1 samples
+    (ref: src/BiQuad.h:591-624 semantics)."""
+    coeffs = np.stack([
+        golden.biquad_coeffs(FilterType.LPF12, 5000, FS),
+        golden.biquad_coeffs(FilterType.PEQ, 1000, FS, gain=3),
+        golden.biquad_coeffs(FilterType.HPF6, 50, FS),
+    ])
+    x = rng.standard_normal(1024).astype(np.float32)
+    y_ser, _ = cascade_apply(jnp.asarray(x), jnp.asarray(coeffs, jnp.float32))
+    y_sys, _ = cascade_apply(jnp.asarray(x), jnp.asarray(coeffs, jnp.float32),
+                             systolic=True)
+    S = coeffs.shape[0]
+    assert snr_db(np.asarray(y_ser)[: 1024 - (S - 1)],
+                  np.asarray(y_sys)[S - 1:]) > 90.0
+
+
+def test_interpolated_coeffs_vs_golden(rng):
+    """Click-free coefficient ramps match the reference's per-sample
+    shared-controller interpolation (ref: src/BiQuad.cpp:379-395)."""
+    c_old = golden.biquad_coeffs(FilterType.PEQ, 1000, FS, gain=0)
+    c_new = golden.biquad_coeffs(FilterType.PEQ, 1000, FS, gain=9)
+    x = rng.standard_normal(600).astype(np.float32)
+    y_ref, _, _ = golden.biquad_process_interpolated(x, c_old, c_new, 400)
+
+    st = bank_init(1, 1)
+    st = bank_set_stage(st, 0, c_old, 0)
+    st = bank_set_stage(st, 0, c_new, 400)
+    st, y = bank_process(st, jnp.asarray(x)[None])
+    assert snr_db(y_ref, np.asarray(y)[0]) > 90.0
+    assert float(st.mul[0]) == 0.0
+
+
+def test_bank_multichannel_streaming(rng):
+    bank = BiQuadFilterBank(2, 4, fs=FS)
+    bank.set_filter(0, FilterType.PEQ, 500, gain=5)
+    bank.set_filter(1, FilterType.HSH, 8000, gain=-6)
+    x = rng.standard_normal((4, 512)).astype(np.float32)
+    y1 = np.asarray(bank.process(jnp.asarray(x[:, :256])))
+    y2 = np.asarray(bank.process(jnp.asarray(x[:, 256:])))
+    y = np.concatenate([y1, y2], axis=1)
+
+    coeffs = np.stack([
+        golden.biquad_coeffs(FilterType.PEQ, 500, FS, gain=5),
+        golden.biquad_coeffs(FilterType.HSH, 8000, FS, gain=-6),
+    ])
+    for c in range(4):
+        y_ref, _ = golden.cascade_process(x[c], coeffs)
+        assert snr_db(y_ref, y[c]) > 90.0
+
+
+def test_response_matches_measured(rng):
+    """CalcResponse analytic check: measured gain of a sine == |H| (the
+    reference's intended validation method, SURVEY.md §4)."""
+    c = biquad_coeffs(FilterType.PEQ, 2000, FS, gain=6, bandwidth=1)
+    t = np.arange(9600)
+    x = np.sin(2 * np.pi * 2000 * t / FS).astype(np.float32)
+    y, _ = biquad_apply(jnp.asarray(x), jnp.asarray(c, jnp.float32))
+    y = np.asarray(y)[4800:]
+    measured = 20 * np.log10(np.sqrt(np.mean(y**2)) / np.sqrt(0.5))
+    predicted = 20 * np.log10(abs(golden.biquad_response(c, 2000, FS)))
+    assert abs(measured - predicted) < 0.05
+
+
+def test_biquad_block(rng):
+    coeffs = np.stack([golden.biquad_coeffs(FilterType.LPF12, 4000, FS)])
+    blk = BiQuadBlock(coeffs, nchannels=2, block_size=256)
+    x = rng.standard_normal((2, 512)).astype(np.float32)
+    y = np.concatenate(
+        [np.asarray(blk.process_block(jnp.asarray(x[:, :256]))),
+         np.asarray(blk.process_block(jnp.asarray(x[:, 256:])))], axis=1)
+    for c in range(2):
+        y_ref, _ = golden.cascade_process(x[c], coeffs)
+        assert snr_db(y_ref, y[c]) > 90.0
+
+
+@pytest.mark.parametrize("delay,T", [(7, 512), (16, 500), (5, 3)])
+def test_allpass_vs_golden(rng, delay, T):
+    x = rng.standard_normal((2, T)).astype(np.float32)
+    y_ref, w_ref = golden.allpass_process(x, 0.5, delay)
+    y, w = allpass_apply(jnp.asarray(x), 0.5, delay)
+    assert snr_db(y_ref, np.asarray(y)) > 90.0
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-5)
+
+
+def test_allpass_streaming(rng):
+    x = rng.standard_normal((2, 256)).astype(np.float32)
+    y_full, _ = allpass_apply(jnp.asarray(x), 0.3, 7)
+    w = None
+    outs = []
+    for i in range(4):
+        y, w = allpass_apply(jnp.asarray(x[:, i * 64:(i + 1) * 64]), 0.3, 7, w)
+        outs.append(np.asarray(y))
+    assert snr_db(np.asarray(y_full), np.concatenate(outs, 1)) > 120.0
+
+
+def test_fractional_read_vs_golden(rng):
+    L = 128
+    buf = rng.standard_normal((3, L))
+    pos = rng.uniform(14, L - 1, size=(3, 17))
+    ref = golden.fractional_delay_block(buf, pos, L)
+    out = fractional_read(jnp.asarray(buf, jnp.float32),
+                          jnp.asarray(pos, jnp.float32))
+    assert snr_db(ref, np.asarray(out)) > 90.0
+
+
+def test_fractional_integer_positions(rng):
+    """At integer positions the polyphase read reproduces the (lagged)
+    buffer contents to the table's DC accuracy."""
+    L = 64
+    buf = rng.standard_normal((1, L))
+    pos = np.arange(20, 40, dtype=np.float64)[None]
+    ref = golden.fractional_delay_block(buf, pos, L)
+    out = fractional_read(jnp.asarray(buf, jnp.float32),
+                          jnp.asarray(pos, jnp.float32))
+    np.testing.assert_allclose(np.asarray(out)[0], ref[0], atol=1e-4)
+
+
+def test_cascade_response_product():
+    coeffs = np.stack([
+        golden.biquad_coeffs(FilterType.PEQ, 1000, FS, gain=6),
+        golden.biquad_coeffs(FilterType.PEQ, 1000, FS, gain=-6),
+    ])
+    h = cascade_response(coeffs, np.array([1000.0, 2000.0]), FS)
+    np.testing.assert_allclose(np.abs(h), 1.0, atol=1e-9)
