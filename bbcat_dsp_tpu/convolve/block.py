@@ -1,0 +1,216 @@
+"""Uniformly-partitioned overlap-save block convolution with click-free IR
+exchange — the framework's flagship streaming engine.
+
+The reference's BlockConvolver/Convolver sources are documented-but-absent
+(ref: README:38-44; SURVEY.md §0, §2.2, §3.7); this is the TPU-native design
+of that capability:
+
+* channels are a batched leading axis (one fused kernel replaces the
+  reference Convolver's thread-per-channel design, ref: README:43),
+* the P-deep spectral delay line is a circular buffer indexed by step —
+  written with one ``dynamic_update_slice`` per block and *gathered* in
+  rotated order for the MAC (no O(P) roll/copy per block; HBM traffic per
+  block is exactly one read of the queue + one read of the IR spectra),
+* the spectral multiply-accumulate is elementwise complex math on the VPU
+  (complex64), keeping full float32 precision,
+* IR exchange runs old and new filters in parallel for ONE block and fades
+  linearly between them (BASELINE.json "click-free via fade-in/fade-out";
+  contract defined in bbcat_dsp_tpu.golden.convolve) — driven host-side, so
+  the steady-state step never pays for the fade branch.
+
+State layout: queue ``[P, C, F]`` complex64, previous input block ``[C, B]``
+(overlap-save window), step counter.  IR spectra ``H [P, C, F]``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fft import rfft, irfft
+
+__all__ = [
+    "ConvolverState",
+    "partition_ir",
+    "convolver_init",
+    "convolver_step",
+    "convolver_step_crossfade",
+    "convolver_render",
+    "BlockConvolver",
+]
+
+
+class ConvolverState(NamedTuple):
+    """Streaming state (the checkpointable pytree, SURVEY.md §5): spectral
+    input queue, overlap-save history block, and block counter."""
+
+    queue: jax.Array  # [P, C, F] complex64 — spectra of past input windows
+    prev: jax.Array   # [C, B] float — previous input block
+    step: jax.Array   # int32 — blocks processed (queue write cursor)
+
+
+def partition_ir(ir: np.ndarray, block: int, nparts: int | None = None) -> jax.Array:
+    """Partition + transform an IR to spectra ``[P, C, F]``.
+
+    ``ir`` is ``[C, N]`` (or ``[N]`` for one channel).  Each partition of
+    ``block`` taps is zero-padded to ``2*block`` and rFFT'd
+    (SURVEY.md §3.7).  Computed in float64 on the host, shipped complex64.
+    """
+    ir = np.atleast_2d(np.asarray(ir, np.float64))
+    C, N = ir.shape
+    P = max(1, -(-N // block))
+    if nparts is not None:
+        if nparts < P:
+            raise ValueError(f"IR needs {P} partitions, got nparts={nparts}")
+        P = nparts
+    padded = np.zeros((C, P * block), np.float64)
+    padded[:, :N] = ir
+    parts = padded.reshape(C, P, block)
+    spec = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], -1), axis=-1)
+    return jnp.asarray(np.moveaxis(spec, 1, 0), jnp.complex64)  # [P, C, F]
+
+
+def convolver_init(
+    nchannels: int, block: int, nparts: int, dtype=jnp.float32
+) -> ConvolverState:
+    return ConvolverState(
+        queue=jnp.zeros((nparts, nchannels, block + 1), jnp.complex64),
+        prev=jnp.zeros((nchannels, block), dtype),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _push_and_mac(state: ConvolverState, x: jax.Array):
+    """Common step front half: window, rFFT, queue write, rotated gather.
+
+    Returns ``(new_queue, gathered_queue, window_spectrum_slot)``.
+    """
+    P, C, F = state.queue.shape
+    B = x.shape[-1]
+    window = jnp.concatenate([state.prev, x], axis=-1)  # [C, 2B]
+    X = rfft(window, 2 * B)  # [C, F]
+    slot = jnp.mod(state.step, P)
+    queue = jax.lax.dynamic_update_slice(
+        state.queue, X[None].astype(state.queue.dtype), (slot, 0, 0)
+    )
+    # partition p needs the spectrum of block (step - p): rotated gather
+    idx = jnp.mod(slot - jnp.arange(P), P)
+    return queue, queue[idx]
+
+
+@jax.jit
+def convolver_step(state: ConvolverState, H: jax.Array, x: jax.Array):
+    """One block: ``x [C, B]`` in, ``y [C, B]`` out (SURVEY.md §3.7 flow)."""
+    B = x.shape[-1]
+    queue, q_rot = _push_and_mac(state, x)
+    acc = jnp.sum(q_rot * H, axis=0)  # [C, F] complex VPU MAC
+    y = irfft(acc, 2 * B)[..., B:].astype(x.dtype)
+    return ConvolverState(queue, x, state.step + 1), y
+
+
+@jax.jit
+def convolver_step_crossfade(
+    state: ConvolverState, H_old: jax.Array, H_new: jax.Array, x: jax.Array
+):
+    """Filter-exchange block: both filters run on the SAME spectral queue and
+    the outputs fade linearly (r[n] = (n+1)/B) — the golden-model crossfade
+    contract."""
+    B = x.shape[-1]
+    queue, q_rot = _push_and_mac(state, x)
+    acc_old = jnp.sum(q_rot * H_old, axis=0)
+    acc_new = jnp.sum(q_rot * H_new, axis=0)
+    y_old = irfft(acc_old, 2 * B)[..., B:]
+    y_new = irfft(acc_new, 2 * B)[..., B:]
+    ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
+    y = ((1 - ramp) * y_old + ramp * y_new).astype(x.dtype)
+    return ConvolverState(queue, x, state.step + 1), y
+
+
+@partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
+def convolver_render(state: ConvolverState, H: jax.Array, x: jax.Array, block: int):
+    """Render a long ``[C, T]`` signal through the convolver with an
+    on-device ``lax.scan`` over blocks (no host round-trips — the bench
+    path).  ``T`` must be a multiple of ``block``."""
+    C, T = x.shape
+    nblocks = T // block
+    blocks = jnp.moveaxis(x.reshape(C, nblocks, block), 1, 0)
+
+    def body(st, xb):
+        st, y = convolver_step(st, H, xb)
+        return st, y
+
+    state, ys = jax.lax.scan(body, state, blocks)
+    return state, jnp.moveaxis(ys, 0, 1).reshape(C, T)
+
+
+class BlockConvolver:
+    """Stateful streaming wrapper: multi-channel partitioned convolver with
+    host-driven click-free IR swapping.
+
+    For one channel pass ``ir`` of shape ``[N]``; for C independent channels
+    ``[C, N]`` (the reference's multi-channel Convolver orchestration,
+    ref: README:43-44, collapses into this single batched kernel).
+    """
+
+    def __init__(self, ir, block: int, nchannels: int | None = None,
+                 nparts: int | None = None, dtype=jnp.float32):
+        ir2 = np.atleast_2d(np.asarray(ir))
+        if nchannels is None:
+            nchannels = ir2.shape[0]
+        if ir2.shape[0] == 1 and nchannels > 1:
+            ir2 = np.broadcast_to(ir2, (nchannels, ir2.shape[1]))
+        self.block = int(block)
+        self.H = partition_ir(ir2, self.block, nparts)
+        self.nparts = self.H.shape[0]
+        self.nchannels = nchannels
+        self.state = convolver_init(nchannels, self.block, self.nparts, dtype)
+        self._pending_H = None
+
+    def set_filter(self, ir, channel: int | None = None) -> None:
+        """Schedule a click-free IR exchange at the next block.
+
+        ``channel=None`` replaces all channels' IRs (``ir`` shaped like the
+        constructor's); otherwise replaces one channel's IR.
+        """
+        if channel is None:
+            ir2 = np.atleast_2d(np.asarray(ir))
+            if ir2.shape[0] == 1 and self.nchannels > 1:
+                ir2 = np.broadcast_to(ir2, (self.nchannels, ir2.shape[1]))
+            newH = partition_ir(ir2, self.block, self.nparts)
+        else:
+            one = partition_ir(np.asarray(ir), self.block, self.nparts)
+            base = self._pending_H if self._pending_H is not None else self.H
+            newH = base.at[:, channel, :].set(one[:, 0, :])
+        self._pending_H = newH
+
+    def process_block(self, x: jax.Array) -> jax.Array:
+        """``x [C, B]`` (or ``[B]`` for mono) -> convolved block."""
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None]
+        if self._pending_H is not None:
+            self.state, y = convolver_step_crossfade(
+                self.state, self.H, self._pending_H, x
+            )
+            self.H = self._pending_H
+            self._pending_H = None
+        else:
+            self.state, y = convolver_step(self.state, self.H, x)
+        return y[0] if squeeze else y
+
+    def process(self, x: jax.Array) -> jax.Array:
+        """Whole-signal render ``[C, T]`` (T multiple of block) on device."""
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[None]
+        self.state, y = convolver_render(self.state, self.H, x, self.block)
+        return y[0] if squeeze else y
+
+    def reset(self) -> None:
+        self.state = convolver_init(
+            self.nchannels, self.block, self.nparts, self.state.prev.dtype
+        )

@@ -1,0 +1,114 @@
+"""Matrix (MIMO / HRTF) partitioned convolution: C_in -> C_out.
+
+Covers the reference Convolver's binaural/HRTF use case — every input
+channel convolved with a per-(input, output) IR and summed into each output
+(ref: README:43-44 "multi-channel parallelized convolution"; BASELINE.json
+config #3: 64-in x 2-out with click-free IR swap).
+
+The per-block mix-down  Y[o,f] = sum_{p,i} Q[p,i,f] * H[p,i,o,f]  is a
+complex contraction over (partitions x inputs) — thousands of terms — done
+as one einsum with HIGHEST precision (on TPU this lowers to the MXU's
+float32-accurate 3-pass bf16 scheme; the operand count makes it
+bandwidth-bound, so the MXU does it essentially for free).
+
+Shares :class:`ConvolverState` (queue is per-INPUT-channel) and the
+crossfade contract with :mod:`bbcat_dsp_tpu.convolve.block`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fft import rfft, irfft
+from .block import ConvolverState, convolver_init, _push_and_mac
+
+__all__ = [
+    "partition_ir_matrix",
+    "matrix_step",
+    "matrix_step_crossfade",
+    "MatrixConvolver",
+]
+
+
+def partition_ir_matrix(ir: np.ndarray, block: int, nparts: int | None = None) -> jax.Array:
+    """``ir [C_in, C_out, N]`` -> spectra ``[P, C_in, C_out, F]`` (host f64)."""
+    ir = np.asarray(ir, np.float64)
+    ci, co, N = ir.shape
+    P = max(1, -(-N // block))
+    if nparts is not None:
+        if nparts < P:
+            raise ValueError(f"IR needs {P} partitions, got nparts={nparts}")
+        P = nparts
+    padded = np.zeros((ci, co, P * block), np.float64)
+    padded[..., :N] = ir
+    parts = padded.reshape(ci, co, P, block)
+    spec = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], -1), axis=-1)
+    return jnp.asarray(np.moveaxis(spec, 2, 0), jnp.complex64)  # [P, ci, co, F]
+
+
+def _mix(q_rot: jax.Array, H: jax.Array) -> jax.Array:
+    """Y[o,f] = sum_{p,i} Q[p,i,f] H[p,i,o,f] at full float32 accuracy."""
+    return jnp.einsum(
+        "pif,piof->of", q_rot, H, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+@jax.jit
+def matrix_step(state: ConvolverState, H: jax.Array, x: jax.Array):
+    """One block: ``x [C_in, B]`` -> ``y [C_out, B]``."""
+    B = x.shape[-1]
+    queue, q_rot = _push_and_mac(state, x)
+    y = irfft(_mix(q_rot, H), 2 * B)[..., B:].astype(x.dtype)
+    return ConvolverState(queue, x, state.step + 1), y
+
+
+@jax.jit
+def matrix_step_crossfade(
+    state: ConvolverState, H_old: jax.Array, H_new: jax.Array, x: jax.Array
+):
+    B = x.shape[-1]
+    queue, q_rot = _push_and_mac(state, x)
+    y_old = irfft(_mix(q_rot, H_old), 2 * B)[..., B:]
+    y_new = irfft(_mix(q_rot, H_new), 2 * B)[..., B:]
+    ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
+    y = ((1 - ramp) * y_old + ramp * y_new).astype(x.dtype)
+    return ConvolverState(queue, x, state.step + 1), y
+
+
+class MatrixConvolver:
+    """Streaming C_in -> C_out convolver with click-free IR-matrix swap
+    (BASELINE.json config #3)."""
+
+    def __init__(self, ir_matrix, block: int, nparts: int | None = None,
+                 dtype=jnp.float32):
+        ir_matrix = np.asarray(ir_matrix)
+        self.block = int(block)
+        self.H = partition_ir_matrix(ir_matrix, self.block, nparts)
+        self.nparts, self.c_in, self.c_out, _ = self.H.shape
+        self.state = convolver_init(self.c_in, self.block, self.nparts, dtype)
+        self._pending_H = None
+
+    def set_filter_matrix(self, ir_matrix) -> None:
+        self._pending_H = partition_ir_matrix(
+            np.asarray(ir_matrix), self.block, self.nparts
+        )
+
+    def process_block(self, x: jax.Array) -> jax.Array:
+        if self._pending_H is not None:
+            self.state, y = matrix_step_crossfade(
+                self.state, self.H, self._pending_H, x
+            )
+            self.H = self._pending_H
+            self._pending_H = None
+        else:
+            self.state, y = matrix_step(self.state, self.H, x)
+        return y
+
+    def reset(self) -> None:
+        self.state = convolver_init(
+            self.c_in, self.block, self.nparts, self.state.prev.dtype
+        )

@@ -1,0 +1,182 @@
+"""Partitioned convolution vs golden oracle: accuracy, streaming, crossfade,
+matrix mix-down (SURVEY.md §4; BASELINE.json configs #1 and #3)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bbcat_dsp_tpu import golden
+from bbcat_dsp_tpu.convolve import (
+    BlockConvolver,
+    MatrixConvolver,
+    convolver_init,
+    convolver_render,
+    convolver_step,
+    partition_ir,
+)
+from conftest import snr_db
+
+
+def _exp_ir(rng, n, decay=500.0):
+    return (rng.standard_normal(n) * np.exp(-np.arange(n) / decay)).astype(
+        np.float64
+    )
+
+
+def test_baseline_config1_mono_4096taps(rng):
+    """BASELINE.json config #1: 48 kHz mono, 512-block, 4096-tap IR;
+    >=90 dB SNR vs the float64 golden model."""
+    B, N, T = 512, 4096, 512 * 16
+    ir = _exp_ir(rng, N)
+    x = rng.standard_normal(T)
+    ref = golden.direct_convolve(x, ir)[:T]
+    conv = BlockConvolver(ir, block=B)
+    y = np.asarray(conv.process(jnp.asarray(x, jnp.float32)))
+    assert snr_db(ref, y) > 90.0
+
+
+def test_streaming_equals_render(rng):
+    B, N, T = 256, 1024, 256 * 8
+    ir = _exp_ir(rng, N)
+    x = rng.standard_normal((3, T)).astype(np.float32)
+    c1 = BlockConvolver(np.broadcast_to(ir, (3, N)), block=B)
+    y_render = np.asarray(c1.process(jnp.asarray(x)))
+    c2 = BlockConvolver(np.broadcast_to(ir, (3, N)), block=B)
+    outs = [
+        np.asarray(c2.process_block(jnp.asarray(x[:, i * B:(i + 1) * B])))
+        for i in range(T // B)
+    ]
+    np.testing.assert_allclose(np.concatenate(outs, -1), y_render, atol=1e-5)
+
+
+def test_multichannel_distinct_irs(rng):
+    B, N, T = 128, 512, 128 * 6
+    irs = np.stack([_exp_ir(rng, N, 100), _exp_ir(rng, N, 300)])
+    x = rng.standard_normal((2, T))
+    conv = BlockConvolver(irs, block=B)
+    y = np.asarray(conv.process(jnp.asarray(x, jnp.float32)))
+    for c in range(2):
+        ref = golden.direct_convolve(x[c], irs[c])[:T]
+        assert snr_db(ref, y[c]) > 90.0
+
+
+def test_partitioned_vs_golden_partitioned(rng):
+    """Block-exact agreement with the golden partitioned (not just direct)
+    model — validates the overlap-save scheduling itself."""
+    B, N, T = 64, 512, 64 * 12
+    ir = _exp_ir(rng, N, 80)
+    x = rng.standard_normal(T)
+    ref = golden.partitioned_convolve(x, ir, B)
+    conv = BlockConvolver(ir, block=B)
+    y = np.asarray(conv.process(jnp.asarray(x, jnp.float32)))
+    assert snr_db(ref, y) > 90.0
+
+
+def test_crossfade_swap_matches_golden(rng):
+    B, N, T = 128, 768, 128 * 10
+    swap_block = 5
+    h_old = _exp_ir(rng, N, 100)
+    h_new = _exp_ir(rng, N, 400)
+    x = rng.standard_normal(T)
+    ref = golden.crossfade_swap_convolve(x, h_old, h_new, B, swap_block)
+    conv = BlockConvolver(h_old, block=B)
+    outs = []
+    for i in range(T // B):
+        if i == swap_block:
+            conv.set_filter(h_new)
+        outs.append(
+            np.asarray(conv.process_block(jnp.asarray(x[i * B:(i + 1) * B],
+                                                      jnp.float32)))
+        )
+    y = np.concatenate(outs)
+    assert snr_db(ref, y) > 90.0
+
+
+def test_swap_same_ir_is_identity(rng):
+    """Swapping in the identical IR must be bit-benign (no click)."""
+    B, N, T = 128, 512, 128 * 6
+    ir = _exp_ir(rng, N)
+    x = rng.standard_normal(T).astype(np.float32)
+    c1 = BlockConvolver(ir, block=B)
+    y_plain = [np.asarray(c1.process_block(jnp.asarray(x[i*B:(i+1)*B])))
+               for i in range(T // B)]
+    c2 = BlockConvolver(ir, block=B)
+    outs = []
+    for i in range(T // B):
+        c2.set_filter(ir)  # swap every block
+        outs.append(np.asarray(c2.process_block(jnp.asarray(x[i*B:(i+1)*B]))))
+    np.testing.assert_allclose(
+        np.concatenate(outs), np.concatenate(y_plain), atol=2e-5
+    )
+
+
+def test_matrix_convolver_hrtf_shape(rng):
+    """64-in x 2-out mix-down equals the sum of per-pair direct
+    convolutions (BASELINE.json config #3, shrunk)."""
+    ci, co, B, N, T = 8, 2, 64, 256, 64 * 6
+    irm = rng.standard_normal((ci, co, N)) * np.exp(
+        -np.arange(N) / 60.0
+    )
+    x = rng.standard_normal((ci, T))
+    conv = MatrixConvolver(irm, block=B)
+    outs = [
+        np.asarray(conv.process_block(jnp.asarray(x[:, i*B:(i+1)*B], jnp.float32)))
+        for i in range(T // B)
+    ]
+    y = np.concatenate(outs, -1)
+    for o in range(co):
+        ref = np.zeros(T)
+        for i in range(ci):
+            ref += golden.direct_convolve(x[i], irm[i, o])[:T]
+        assert snr_db(ref, y[o]) > 90.0
+
+
+def test_matrix_crossfade(rng):
+    ci, co, B, N, T = 4, 2, 64, 128, 64 * 8
+    irm_a = rng.standard_normal((ci, co, N)) * 0.5
+    irm_b = rng.standard_normal((ci, co, N)) * 0.5
+    x = rng.standard_normal((ci, T))
+    swap = 4
+    conv = MatrixConvolver(irm_a, block=B)
+    outs = []
+    for i in range(T // B):
+        if i == swap:
+            conv.set_filter_matrix(irm_b)
+        outs.append(np.asarray(conv.process_block(
+            jnp.asarray(x[:, i*B:(i+1)*B], jnp.float32))))
+    y = np.concatenate(outs, -1)
+    ramp = (np.arange(B) + 1.0) / B
+    for o in range(co):
+        ya = np.zeros(T)
+        yb = np.zeros(T)
+        for i in range(ci):
+            ya += golden.direct_convolve(x[i], irm_a[i, o])[:T]
+            yb += golden.direct_convolve(x[i], irm_b[i, o])[:T]
+        ref = ya.copy()
+        s = swap * B
+        ref[s:s+B] = (1 - ramp) * ya[s:s+B] + ramp * yb[s:s+B]
+        ref[s+B:] = yb[s+B:]
+        assert snr_db(ref, y[o]) > 90.0
+
+
+def test_ir_shorter_than_block(rng):
+    B, N, T = 256, 40, 256 * 4
+    ir = rng.standard_normal(N)
+    x = rng.standard_normal(T)
+    conv = BlockConvolver(ir, block=B)
+    y = np.asarray(conv.process(jnp.asarray(x, jnp.float32)))
+    ref = golden.direct_convolve(x, ir)[:T]
+    assert snr_db(ref, y) > 90.0
+
+
+def test_nparts_padding(rng):
+    """Extra partitions (pre-allocated headroom for longer swap IRs) are
+    harmless zeros."""
+    B, N, T = 128, 300, 128 * 4
+    ir = rng.standard_normal(N)
+    x = rng.standard_normal(T)
+    a = BlockConvolver(ir, block=B)
+    b = BlockConvolver(ir, block=B, nparts=8)
+    ya = np.asarray(a.process(jnp.asarray(x, jnp.float32)))
+    yb = np.asarray(b.process(jnp.asarray(x, jnp.float32)))
+    np.testing.assert_allclose(ya, yb, atol=1e-6)
