@@ -2,7 +2,7 @@
 BlockConvolver/Convolver capability, ref: README:38-44, rebuilt TPU-first).
 """
 
-from .fft import rfft, irfft, register_backend, backends
+from .fft import rfft_planes, irfft_planes, cmul, register_backend, backends, default_backend
 from .block import (
     BlockConvolver,
     ConvolverState,
@@ -20,8 +20,10 @@ from .matrix import (
 )
 
 __all__ = [
-    "rfft",
-    "irfft",
+    "rfft_planes",
+    "irfft_planes",
+    "cmul",
+    "default_backend",
     "register_backend",
     "backends",
     "BlockConvolver",

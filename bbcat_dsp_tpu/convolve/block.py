@@ -7,19 +7,20 @@ of that capability:
 
 * channels are a batched leading axis (one fused kernel replaces the
   reference Convolver's thread-per-channel design, ref: README:43),
+* spectra are re/im PLANE arrays (``[2, ..., F]`` float32 — the TPU backend
+  has no complex dtype; see :mod:`bbcat_dsp_tpu.convolve.fft`),
 * the P-deep spectral delay line is a circular buffer indexed by step —
   written with one ``dynamic_update_slice`` per block and *gathered* in
   rotated order for the MAC (no O(P) roll/copy per block; HBM traffic per
   block is exactly one read of the queue + one read of the IR spectra),
-* the spectral multiply-accumulate is elementwise complex math on the VPU
-  (complex64), keeping full float32 precision,
+* the spectral multiply-accumulate is elementwise float32 on the VPU,
 * IR exchange runs old and new filters in parallel for ONE block and fades
   linearly between them (BASELINE.json "click-free via fade-in/fade-out";
   contract defined in bbcat_dsp_tpu.golden.convolve) — driven host-side, so
   the steady-state step never pays for the fade branch.
 
-State layout: queue ``[P, C, F]`` complex64, previous input block ``[C, B]``
-(overlap-save window), step counter.  IR spectra ``H [P, C, F]``.
+State layout: queue ``[2, P, C, F]``, previous input block ``[C, B]``
+(overlap-save window), step counter.  IR spectra ``H [2, P, C, F]``.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fft import rfft, irfft
+from .fft import rfft_planes, irfft_planes
 
 __all__ = [
     "ConvolverState",
@@ -46,19 +47,19 @@ __all__ = [
 
 class ConvolverState(NamedTuple):
     """Streaming state (the checkpointable pytree, SURVEY.md §5): spectral
-    input queue, overlap-save history block, and block counter."""
+    input queue (re/im planes), overlap-save history block, block counter."""
 
-    queue: jax.Array  # [P, C, F] complex64 — spectra of past input windows
+    queue: jax.Array  # [2, P, C, F] float — spectra of past input windows
     prev: jax.Array   # [C, B] float — previous input block
     step: jax.Array   # int32 — blocks processed (queue write cursor)
 
 
 def partition_ir(ir: np.ndarray, block: int, nparts: int | None = None) -> jax.Array:
-    """Partition + transform an IR to spectra ``[P, C, F]``.
+    """Partition + transform an IR to spectra ``[2, P, C, F]``.
 
     ``ir`` is ``[C, N]`` (or ``[N]`` for one channel).  Each partition of
     ``block`` taps is zero-padded to ``2*block`` and rFFT'd
-    (SURVEY.md §3.7).  Computed in float64 on the host, shipped complex64.
+    (SURVEY.md §3.7).  Computed in float64 on the host, shipped float32.
     """
     ir = np.atleast_2d(np.asarray(ir, np.float64))
     C, N = ir.shape
@@ -71,44 +72,53 @@ def partition_ir(ir: np.ndarray, block: int, nparts: int | None = None) -> jax.A
     padded[:, :N] = ir
     parts = padded.reshape(C, P, block)
     spec = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], -1), axis=-1)
-    return jnp.asarray(np.moveaxis(spec, 1, 0), jnp.complex64)  # [P, C, F]
+    spec = np.moveaxis(spec, 1, 0)  # [P, C, F]
+    return jnp.asarray(
+        np.stack([spec.real, spec.imag]).astype(np.float32)
+    )  # [2, P, C, F]
 
 
 def convolver_init(
     nchannels: int, block: int, nparts: int, dtype=jnp.float32
 ) -> ConvolverState:
     return ConvolverState(
-        queue=jnp.zeros((nparts, nchannels, block + 1), jnp.complex64),
+        queue=jnp.zeros((2, nparts, nchannels, block + 1), dtype),
         prev=jnp.zeros((nchannels, block), dtype),
         step=jnp.zeros((), jnp.int32),
     )
 
 
-def _push_and_mac(state: ConvolverState, x: jax.Array):
-    """Common step front half: window, rFFT, queue write, rotated gather.
+def _push(state: ConvolverState, x: jax.Array):
+    """Window, rFFT, circular queue write, rotated gather.
 
-    Returns ``(new_queue, gathered_queue, window_spectrum_slot)``.
+    Returns ``(new_queue, q_rot)`` where ``q_rot[:, p]`` is the spectrum of
+    input block ``step - p`` (what partition p must multiply).
     """
-    P, C, F = state.queue.shape
+    _, P, C, F = state.queue.shape
     B = x.shape[-1]
     window = jnp.concatenate([state.prev, x], axis=-1)  # [C, 2B]
-    X = rfft(window, 2 * B)  # [C, F]
+    X = rfft_planes(window, 2 * B)  # [2, C, F]
     slot = jnp.mod(state.step, P)
     queue = jax.lax.dynamic_update_slice(
-        state.queue, X[None].astype(state.queue.dtype), (slot, 0, 0)
+        state.queue, X[:, None].astype(state.queue.dtype), (0, slot, 0, 0)
     )
-    # partition p needs the spectrum of block (step - p): rotated gather
     idx = jnp.mod(slot - jnp.arange(P), P)
-    return queue, queue[idx]
+    return queue, queue[:, idx]
+
+
+def _mac(q_rot: jax.Array, H: jax.Array) -> jax.Array:
+    """acc[c,f] = sum_p q[p,c,f] * h[p,c,f] (complex, via planes)."""
+    re = jnp.sum(q_rot[0] * H[0] - q_rot[1] * H[1], axis=0)
+    im = jnp.sum(q_rot[0] * H[1] + q_rot[1] * H[0], axis=0)
+    return jnp.stack([re, im], axis=0)  # [2, C, F]
 
 
 @jax.jit
 def convolver_step(state: ConvolverState, H: jax.Array, x: jax.Array):
     """One block: ``x [C, B]`` in, ``y [C, B]`` out (SURVEY.md §3.7 flow)."""
     B = x.shape[-1]
-    queue, q_rot = _push_and_mac(state, x)
-    acc = jnp.sum(q_rot * H, axis=0)  # [C, F] complex VPU MAC
-    y = irfft(acc, 2 * B)[..., B:].astype(x.dtype)
+    queue, q_rot = _push(state, x)
+    y = irfft_planes(_mac(q_rot, H), 2 * B)[..., B:].astype(x.dtype)
     return ConvolverState(queue, x, state.step + 1), y
 
 
@@ -120,11 +130,9 @@ def convolver_step_crossfade(
     the outputs fade linearly (r[n] = (n+1)/B) — the golden-model crossfade
     contract."""
     B = x.shape[-1]
-    queue, q_rot = _push_and_mac(state, x)
-    acc_old = jnp.sum(q_rot * H_old, axis=0)
-    acc_new = jnp.sum(q_rot * H_new, axis=0)
-    y_old = irfft(acc_old, 2 * B)[..., B:]
-    y_new = irfft(acc_new, 2 * B)[..., B:]
+    queue, q_rot = _push(state, x)
+    y_old = irfft_planes(_mac(q_rot, H_old), 2 * B)[..., B:]
+    y_new = irfft_planes(_mac(q_rot, H_new), 2 * B)[..., B:]
     ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
     y = ((1 - ramp) * y_old + ramp * y_new).astype(x.dtype)
     return ConvolverState(queue, x, state.step + 1), y
@@ -165,7 +173,7 @@ class BlockConvolver:
             ir2 = np.broadcast_to(ir2, (nchannels, ir2.shape[1]))
         self.block = int(block)
         self.H = partition_ir(ir2, self.block, nparts)
-        self.nparts = self.H.shape[0]
+        self.nparts = self.H.shape[1]
         self.nchannels = nchannels
         self.state = convolver_init(nchannels, self.block, self.nparts, dtype)
         self._pending_H = None
@@ -184,7 +192,7 @@ class BlockConvolver:
         else:
             one = partition_ir(np.asarray(ir), self.block, self.nparts)
             base = self._pending_H if self._pending_H is not None else self.H
-            newH = base.at[:, channel, :].set(one[:, 0, :])
+            newH = base.at[:, :, channel, :].set(one[:, :, 0, :])
         self._pending_H = newH
 
     def process_block(self, x: jax.Array) -> jax.Array:

@@ -6,10 +6,9 @@ channel convolved with a per-(input, output) IR and summed into each output
 config #3: 64-in x 2-out with click-free IR swap).
 
 The per-block mix-down  Y[o,f] = sum_{p,i} Q[p,i,f] * H[p,i,o,f]  is a
-complex contraction over (partitions x inputs) — thousands of terms — done
-as one einsum with HIGHEST precision (on TPU this lowers to the MXU's
-float32-accurate 3-pass bf16 scheme; the operand count makes it
-bandwidth-bound, so the MXU does it essentially for free).
+contraction over (partitions x inputs) — done as four real einsums on the
+re/im planes with ``Precision.HIGHEST`` (float32-accurate MXU; the operand
+sizes make it bandwidth-bound, so the MXU contraction is essentially free).
 
 Shares :class:`ConvolverState` (queue is per-INPUT-channel) and the
 crossfade contract with :mod:`bbcat_dsp_tpu.convolve.block`.
@@ -17,14 +16,12 @@ crossfade contract with :mod:`bbcat_dsp_tpu.convolve.block`.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fft import rfft, irfft
-from .block import ConvolverState, convolver_init, _push_and_mac
+from .fft import irfft_planes
+from .block import ConvolverState, convolver_init, _push
 
 __all__ = [
     "partition_ir_matrix",
@@ -33,9 +30,11 @@ __all__ = [
     "MatrixConvolver",
 ]
 
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def partition_ir_matrix(ir: np.ndarray, block: int, nparts: int | None = None) -> jax.Array:
-    """``ir [C_in, C_out, N]`` -> spectra ``[P, C_in, C_out, F]`` (host f64)."""
+    """``ir [C_in, C_out, N]`` -> spectra ``[2, P, C_in, C_out, F]``."""
     ir = np.asarray(ir, np.float64)
     ci, co, N = ir.shape
     P = max(1, -(-N // block))
@@ -47,22 +46,26 @@ def partition_ir_matrix(ir: np.ndarray, block: int, nparts: int | None = None) -
     padded[..., :N] = ir
     parts = padded.reshape(ci, co, P, block)
     spec = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], -1), axis=-1)
-    return jnp.asarray(np.moveaxis(spec, 2, 0), jnp.complex64)  # [P, ci, co, F]
+    spec = np.moveaxis(spec, 2, 0)  # [P, ci, co, F]
+    return jnp.asarray(np.stack([spec.real, spec.imag]).astype(np.float32))
 
 
 def _mix(q_rot: jax.Array, H: jax.Array) -> jax.Array:
-    """Y[o,f] = sum_{p,i} Q[p,i,f] H[p,i,o,f] at full float32 accuracy."""
-    return jnp.einsum(
-        "pif,piof->of", q_rot, H, precision=jax.lax.Precision.HIGHEST
-    )
+    """Y[o,f] = sum_{p,i} Q[p,i,f] H[p,i,o,f] on re/im planes."""
+    def e(a, b):
+        return jnp.einsum("pif,piof->of", a, b, precision=_PREC)
+
+    re = e(q_rot[0], H[0]) - e(q_rot[1], H[1])
+    im = e(q_rot[0], H[1]) + e(q_rot[1], H[0])
+    return jnp.stack([re, im], axis=0)
 
 
 @jax.jit
 def matrix_step(state: ConvolverState, H: jax.Array, x: jax.Array):
     """One block: ``x [C_in, B]`` -> ``y [C_out, B]``."""
     B = x.shape[-1]
-    queue, q_rot = _push_and_mac(state, x)
-    y = irfft(_mix(q_rot, H), 2 * B)[..., B:].astype(x.dtype)
+    queue, q_rot = _push(state, x)
+    y = irfft_planes(_mix(q_rot, H), 2 * B)[..., B:].astype(x.dtype)
     return ConvolverState(queue, x, state.step + 1), y
 
 
@@ -71,9 +74,9 @@ def matrix_step_crossfade(
     state: ConvolverState, H_old: jax.Array, H_new: jax.Array, x: jax.Array
 ):
     B = x.shape[-1]
-    queue, q_rot = _push_and_mac(state, x)
-    y_old = irfft(_mix(q_rot, H_old), 2 * B)[..., B:]
-    y_new = irfft(_mix(q_rot, H_new), 2 * B)[..., B:]
+    queue, q_rot = _push(state, x)
+    y_old = irfft_planes(_mix(q_rot, H_old), 2 * B)[..., B:]
+    y_new = irfft_planes(_mix(q_rot, H_new), 2 * B)[..., B:]
     ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
     y = ((1 - ramp) * y_old + ramp * y_new).astype(x.dtype)
     return ConvolverState(queue, x, state.step + 1), y
@@ -88,7 +91,7 @@ class MatrixConvolver:
         ir_matrix = np.asarray(ir_matrix)
         self.block = int(block)
         self.H = partition_ir_matrix(ir_matrix, self.block, nparts)
-        self.nparts, self.c_in, self.c_out, _ = self.H.shape
+        _, self.nparts, self.c_in, self.c_out, _ = self.H.shape
         self.state = convolver_init(self.c_in, self.block, self.nparts, dtype)
         self._pending_H = None
 

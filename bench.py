@@ -1,0 +1,101 @@
+"""Benchmark harness — BASELINE.md headline config on real hardware.
+
+Measures the north-star metric: real-time factor of 64-channel x 32768-tap
+partitioned convolution at 48 kHz on one TPU chip (BASELINE.json), plus the
+SNR of the same computation against the float64 golden model.
+
+The TPU is reached through a shared relay whose latency fluctuates, so the
+timing estimator is the MINIMUM over several short trials (the standard
+estimator under external interference), and compilations are cached on disk
+across runs.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+where vs_baseline is the real-time factor divided by the 100x target.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    import jax.numpy as jnp
+    from scipy.signal import fftconvolve
+
+    from bbcat_dsp_tpu.convolve import BlockConvolver, convolver_render
+
+    fs = 48000.0
+    C, N, B = 64, 32768, 512
+    nblocks = 32  # per timed render call
+    T = B * nblocks
+
+    rng = np.random.default_rng(0)
+    irs = (rng.standard_normal((C, N)) * np.exp(-np.arange(N) / 4000.0)).astype(
+        np.float64
+    )
+    x = rng.standard_normal((C, T)).astype(np.float32)
+
+    conv = BlockConvolver(irs, block=B)
+    xd = jnp.asarray(x)
+
+    # accuracy: one channel vs float64 golden convolution
+    y = conv.process(xd)
+    y0 = np.asarray(y[0])
+    ref0 = fftconvolve(x[0].astype(np.float64), irs[0])[:T]
+    snr = 10.0 * np.log10(np.sum(ref0**2) / np.sum((ref0 - y0) ** 2))
+
+    # throughput: steady-state on-device render, state donated.  The TPU sits
+    # behind a relay whose round-trip (~30 ms) dwarfs the compute, and
+    # block_until_ready does not reliably block through it — so force a
+    # device-side scalar fetch and measure the SLOPE between a short and a
+    # long chain of renders (intercept = relay RTT, slope = true cost).
+    conv.reset()
+    state, H = conv.state, conv.H
+    state, yw = convolver_render(state, H, xd, B)  # warm-up/compile
+    float(jnp.sum(yw))
+
+    def chain(n: int) -> float:
+        nonlocal state
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, yy = convolver_render(state, H, xd, B)
+            float(jnp.sum(yy))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = 2, 12
+    t_short = chain(n1)
+    t_long = chain(n2)
+    per_render = max((t_long - t_short) / (n2 - n1), 1e-9)
+
+    audio_seconds = T / fs
+    rtf = audio_seconds / per_render
+    samples_per_sec_per_chip = C * T / per_render
+
+    result = {
+        "metric": "rtf_64ch_32ktap_48kHz_1chip",
+        "value": round(float(rtf), 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(float(rtf) / 100.0, 3),
+        "snr_db_vs_golden": round(float(snr), 1),
+        "samples_per_sec_per_chip": int(samples_per_sec_per_chip),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -180,3 +180,17 @@ def test_nparts_padding(rng):
     ya = np.asarray(a.process(jnp.asarray(x, jnp.float32)))
     yb = np.asarray(b.process(jnp.asarray(x, jnp.float32)))
     np.testing.assert_allclose(ya, yb, atol=1e-6)
+
+
+def test_dftmm_backend_matches_xla(rng):
+    """The TPU matmul-DFT backend must match jnp.fft on CPU."""
+    from bbcat_dsp_tpu.convolve import rfft_planes, irfft_planes
+
+    x = rng.standard_normal((3, 1024)).astype(np.float32)
+    a = np.asarray(rfft_planes(jnp.asarray(x), 1024, backend="xla"))
+    b = np.asarray(rfft_planes(jnp.asarray(x), 1024, backend="dftmm"))
+    assert snr_db(a, b) > 110.0
+    ya = np.asarray(irfft_planes(jnp.asarray(a), 1024, backend="xla"))
+    yb = np.asarray(irfft_planes(jnp.asarray(a), 1024, backend="dftmm"))
+    assert snr_db(ya, yb) > 110.0
+    np.testing.assert_allclose(ya, x, atol=1e-4)
