@@ -1,1 +1,19 @@
-"""(populated incrementally)"""
+"""Device-mesh sharding layer (new component — no reference counterpart;
+SURVEY.md §2.3): channel/time sharding of the DSP engines over a TPU pod
+slice, halo exchange for overlap-save, psum reductions for metering."""
+
+from .mesh import make_mesh, channel_sharding, shard_channels
+from .convolve import (
+    channel_sharded_step,
+    channel_sharded_render,
+    time_sharded_render,
+)
+
+__all__ = [
+    "make_mesh",
+    "channel_sharding",
+    "shard_channels",
+    "channel_sharded_step",
+    "channel_sharded_render",
+    "time_sharded_render",
+]

@@ -1,0 +1,156 @@
+"""Sharded partitioned convolution: channel-parallel and time-parallel.
+
+TPU-native replacement for the reference Convolver's thread-per-channel
+parallelism (ref: README:43-44) at pod scale (BASELINE.json config #5):
+
+* **Channel sharding** — each device owns a contiguous channel slice of the
+  queue / IR spectra / signal and runs the identical convolver step with
+  ZERO communication (channels are independent).  Expressed with
+  ``shard_map`` so XLA cannot accidentally reshard the 10s-of-MB state.
+
+* **Time sharding** (offline render) — the signal's time axis is split into
+  contiguous spans, one per device.  Overlap-save needs the P*B input
+  samples preceding each span (the spectral-queue history): exactly the
+  halo-exchange pattern of context parallelism (SURVEY.md §5), implemented
+  with ``ppermute`` from the left neighbour, after which every span renders
+  independently and bit-identically to the sequential stream.
+
+Both compose: a 2-D (ch, t) mesh shards channels and time simultaneously.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..convolve.block import (
+    ConvolverState,
+    convolver_init,
+    convolver_render,
+    convolver_step,
+)
+from ..convolve.fft import rfft_planes
+
+__all__ = [
+    "channel_sharded_step",
+    "channel_sharded_render",
+    "time_sharded_render",
+]
+
+
+def channel_sharded_step(mesh: Mesh, axis_name: str = "ch"):
+    """Build a jitted ``(state, H, x) -> (state, y)`` with every operand's
+    channel axis sharded over ``mesh``.
+
+    State layout (SURVEY.md §5): queue ``[2, P, C, F]`` (C sharded), prev
+    ``[C, B]``, step replicated; ``H [2, P, C, F]``; ``x [C, B]``.
+    """
+    state_spec = ConvolverState(
+        queue=P(None, None, axis_name, None),
+        prev=P(axis_name, None),
+        step=P(),
+    )
+    h_spec = P(None, None, axis_name, None)
+    x_spec = P(axis_name, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(state_spec, h_spec, x_spec),
+        out_specs=(state_spec, x_spec),
+        check_rep=False,
+    )
+    def _step(state, H, x):
+        return convolver_step(state, H, x)
+
+    return jax.jit(_step, donate_argnums=(0,))
+
+
+def channel_sharded_render(mesh: Mesh, block: int, axis_name: str = "ch"):
+    """Like :func:`channel_sharded_step` but renders a whole ``[C, T]``
+    signal via the on-device block scan (the pod-scale bench path)."""
+    state_spec = ConvolverState(
+        queue=P(None, None, axis_name, None),
+        prev=P(axis_name, None),
+        step=P(),
+    )
+    h_spec = P(None, None, axis_name, None)
+    x_spec = P(axis_name, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(state_spec, h_spec, x_spec),
+        out_specs=(state_spec, x_spec),
+        check_rep=False,
+    )
+    def _render(state, H, x):
+        return convolver_render(state, H, x, block)
+
+    return jax.jit(_render, donate_argnums=(0,))
+
+
+def time_sharded_render(mesh: Mesh, block: int, nparts: int,
+                        axis_name: str = "t"):
+    """Build a jitted ``(H, x) -> y`` rendering ``x [C, T]`` with the TIME
+    axis sharded: each device gets a span of ``T / n_devices`` samples
+    (must be a multiple of ``block``), receives its left neighbour's
+    trailing ``nparts * block`` samples via ``ppermute`` (the overlap-save
+    halo), locally reconstructs the spectral queue from those halo windows,
+    and renders its span.  Output is bit-comparable to the sequential
+    stream from zero initial state."""
+    halo_len = nparts * block
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, None, None), P(None, axis_name)),
+        out_specs=P(None, axis_name),
+        check_rep=False,
+    )
+    def _render(H, x):
+        n = jax.lax.axis_size(axis_name)
+        # halo: last nparts*block input samples of the LEFT neighbour
+        tail = x[:, -halo_len:]
+        halo = jax.lax.ppermute(
+            tail, axis_name, [(i, (i + 1) % n) for i in range(n)]
+        )
+        idx = jax.lax.axis_index(axis_name)
+        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+
+        C = x.shape[0]
+        # rebuild the spectral queue: window w covers halo blocks
+        # [w-1, w] (2*block samples) — exactly what the streaming engine
+        # would have enqueued for the nparts most recent past blocks
+        padded = jnp.concatenate(
+            [jnp.zeros((C, block), x.dtype), halo], axis=-1
+        )
+        windows = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(
+                    padded, k * block, 2 * block, axis=-1
+                )
+                for k in range(nparts)
+            ],
+            axis=0,
+        )  # [nparts, C, 2B] — window k ends at halo block k
+        spectra = rfft_planes(windows, 2 * block)  # [2, nparts, C, F]
+        # queue slot for the block that is p blocks in the past must hold
+        # that block's window spectrum.  Start the local stream at
+        # step = nparts so slot = (step - p) % nparts: the window ending at
+        # halo block nparts-1 (the most recent) sits p=1 in the past.
+        # window k is (nparts - k) blocks in the past -> slot (nparts*2 - (nparts-k)) % nparts = k
+        queue = spectra  # slot k == window k (derivation above)
+        state = ConvolverState(
+            queue=queue,
+            prev=halo[:, -block:],
+            step=jnp.asarray(nparts, jnp.int32),
+        )
+        _, y = convolver_render(state, H, x, block)
+        return y
+
+    return jax.jit(_render)

@@ -1,0 +1,77 @@
+"""Sharded == single-device equivalence on the 8-device CPU mesh
+(SURVEY.md §4: distributed tests without a cluster)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bbcat_dsp_tpu import golden
+from bbcat_dsp_tpu.convolve import BlockConvolver, partition_ir, convolver_init
+from bbcat_dsp_tpu.parallel import (
+    make_mesh,
+    shard_channels,
+    channel_sharded_step,
+    channel_sharded_render,
+    time_sharded_render,
+)
+from conftest import snr_db
+
+
+def test_channel_sharded_step_matches_single(rng):
+    C, N, B = 16, 1024, 128  # 16 channels over 8 devices
+    irs = rng.standard_normal((C, N)) * np.exp(-np.arange(N) / 200.0)
+    x = rng.standard_normal((C, B * 6)).astype(np.float32)
+
+    ref_conv = BlockConvolver(irs, block=B)
+    y_ref = np.asarray(ref_conv.process(jnp.asarray(x)))
+
+    mesh = make_mesh(8)
+    H = partition_ir(irs, B)
+    P_ = H.shape[1]
+    state = convolver_init(C, B, P_)
+    step = channel_sharded_step(mesh)
+    outs = []
+    for i in range(6):
+        state, y = step(state, H, jnp.asarray(x[:, i * B:(i + 1) * B]))
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(outs, -1), y_ref, atol=1e-5)
+
+
+def test_channel_sharded_render_matches_single(rng):
+    C, N, B, T = 8, 512, 128, 128 * 8
+    irs = rng.standard_normal((C, N)) * 0.3
+    x = rng.standard_normal((C, T)).astype(np.float32)
+    ref = BlockConvolver(irs, block=B)
+    y_ref = np.asarray(ref.process(jnp.asarray(x)))
+
+    mesh = make_mesh(8)
+    H = partition_ir(irs, B)
+    state = convolver_init(C, B, H.shape[1])
+    render = channel_sharded_render(mesh, B)
+    state, y = render(state, H, shard_channels(x, mesh))
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-5)
+
+
+def test_time_sharded_render_matches_single(rng):
+    """Halo-exchange time sharding == sequential stream (bit-comparable)."""
+    C, N, B = 2, 512, 64
+    n_dev = 8
+    P_ = N // B  # 8 partitions -> halo = 512 samples per span
+    span = 2 * P_ * B  # span comfortably >= halo
+    T = span * n_dev
+    irs = rng.standard_normal((C, N)) * np.exp(-np.arange(N) / 100.0)
+    x = rng.standard_normal((C, T)).astype(np.float32)
+
+    ref = BlockConvolver(irs, block=B)
+    y_ref = np.asarray(ref.process(jnp.asarray(x)))
+
+    mesh = make_mesh(n_dev, axis_name="t")
+    H = partition_ir(irs, B)
+    render = time_sharded_render(mesh, B, H.shape[1], axis_name="t")
+    y = np.asarray(render(H, jnp.asarray(x)))
+    assert snr_db(y_ref, y) > 110.0
+
+    # and against the golden model
+    for c in range(C):
+        refc = golden.direct_convolve(x[c].astype(np.float64), irs[c])[:T]
+        assert snr_db(refc, y[c]) > 90.0
