@@ -62,7 +62,7 @@ def channel_sharded_step(mesh: Mesh, axis_name: str = "ch"):
         mesh=mesh,
         in_specs=(state_spec, h_spec, x_spec),
         out_specs=(state_spec, x_spec),
-        check_rep=False,
+        check_vma=False,
     )
     def _step(state, H, x):
         return convolver_step(state, H, x)
@@ -86,7 +86,7 @@ def channel_sharded_render(mesh: Mesh, block: int, axis_name: str = "ch"):
         mesh=mesh,
         in_specs=(state_spec, h_spec, x_spec),
         out_specs=(state_spec, x_spec),
-        check_rep=False,
+        check_vma=False,
     )
     def _render(state, H, x):
         return convolver_render(state, H, x, block)
@@ -95,7 +95,7 @@ def channel_sharded_render(mesh: Mesh, block: int, axis_name: str = "ch"):
 
 
 def time_sharded_render(mesh: Mesh, block: int, nparts: int,
-                        axis_name: str = "t"):
+                        axis_name: str = "t", ch_axis: str | None = None):
     """Build a jitted ``(H, x) -> y`` rendering ``x [C, T]`` with the TIME
     axis sharded: each device gets a span of ``T / n_devices`` samples
     (must be a multiple of ``block``), receives its left neighbour's
@@ -108,9 +108,9 @@ def time_sharded_render(mesh: Mesh, block: int, nparts: int,
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(None, None, None, None), P(None, axis_name)),
-        out_specs=P(None, axis_name),
-        check_rep=False,
+        in_specs=(P(None, None, ch_axis, None), P(ch_axis, axis_name)),
+        out_specs=P(ch_axis, axis_name),
+        check_vma=False,
     )
     def _render(H, x):
         n = jax.lax.axis_size(axis_name)
