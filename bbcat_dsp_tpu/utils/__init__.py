@@ -1,1 +1,6 @@
-"""(populated incrementally)"""
+"""Utilities: native-library bindings, profiling helpers."""
+
+from . import native
+from .native import native_available
+
+__all__ = ["native", "native_available"]
