@@ -12,6 +12,11 @@ from .block import (
     convolver_step_crossfade,
     partition_ir,
 )
+from .nonuniform import (
+    NonUniformConvolver,
+    NonUniformState,
+    nonuniform_render,
+)
 from .matrix import (
     MatrixConvolver,
     matrix_step,
@@ -33,6 +38,9 @@ __all__ = [
     "convolver_step",
     "convolver_step_crossfade",
     "partition_ir",
+    "NonUniformConvolver",
+    "NonUniformState",
+    "nonuniform_render",
     "MatrixConvolver",
     "matrix_step",
     "matrix_step_crossfade",

@@ -1,0 +1,251 @@
+"""Non-uniform (two-level) partitioned convolution — the throughput engine.
+
+Level 1 (latency): the first ``2*ratio`` x ``block`` taps run at block B.
+Level 2 (bandwidth): the remainder runs at ``B2 = ratio * B``.  HBM traffic
+drops ~3x vs uniform partitioning (bytes/s ~ 16*C*fs*(P_head + P_tail/ratio)
+instead of 16*C*fs*N/B) while output latency stays one small block.
+
+The decisive TPU restructuring: within one super-block of ``ratio`` small
+blocks there is NO sequential dependency — the spectral delay line is just
+input history, all of it known up front.  So the head is evaluated as a
+batched frequency-domain FIR over the block index:
+
+    acc[i] = sum_p  X[P + i - p] * H[p],   i = 0..ratio-1
+
+with ONE batched rFFT for all ``ratio`` windows, ``P`` fused shifted
+multiply-adds, and ONE batched irFFT — instead of a ``lax.scan`` that paid
+~10 kernel launches per small block.  The head's streaming state collapses
+to the last ``P`` window spectra (``xcarry``) + B input samples.
+
+The tail convolver's output is delayed by exactly N1 = 2*B2 samples; a
+2-slot pending queue re-aligns it, and with N1 >= B2 the schedule stays
+causal with slack (the classic Gardner argument) — no added latency.
+
+Click-free IR exchange: the head crossfades over the first small block of
+the next super-block, the tail over that whole super-block — both
+transitions continuous (golden crossfade contract).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .block import (
+    ConvolverState,
+    convolver_init,
+    convolver_step,
+    convolver_step_crossfade,
+    partition_ir,
+)
+from .fft import irfft_planes, rfft_planes
+
+__all__ = ["NonUniformState", "NonUniformConvolver", "nonuniform_render"]
+
+
+class NonUniformState(NamedTuple):
+    xcarry: jax.Array   # [2, P_head, C, F] last P_head window spectra
+                        # (oldest..newest along axis 1)
+    prev: jax.Array     # [C, B] last B input samples
+    tail: ConvolverState
+    pending: jax.Array  # [2, C, B2] tail outputs awaiting their time slot
+
+
+def _split_ir(ir: np.ndarray, block: int, ratio: int):
+    ir = np.atleast_2d(np.asarray(ir))
+    n1 = 2 * ratio * block
+    head = ir[:, :n1]
+    tail = ir[:, n1:] if ir.shape[1] > n1 else None
+    return head, tail
+
+
+def _head_windows(prev: jax.Array, x: jax.Array, B: int, ratio: int):
+    """All ``ratio`` overlap-save windows of the super-block, batched:
+    ``[ratio, C, 2B]``."""
+    ext = jnp.concatenate([prev, x], axis=-1)  # [C, B + ratio*B]
+    return jnp.stack(
+        [jax.lax.slice_in_dim(ext, i * B, i * B + 2 * B, axis=-1)
+         for i in range(ratio)],
+        axis=0,
+    )
+
+
+def _head_mac(xext: jax.Array, H: jax.Array, ratio: int):
+    """acc[i] = sum_p xext[P+i-p] * H[p] — P fused shifted complex MACs.
+
+    ``xext [2, P+ratio, C, F]``, ``H [2, P, C, F]`` -> ``[2, ratio, C, F]``.
+    """
+    P = H.shape[1]
+    acc_r = jnp.zeros_like(xext[0, :ratio])
+    acc_i = jnp.zeros_like(xext[0, :ratio])
+    for p in range(P):
+        xr = jax.lax.slice_in_dim(xext[0], P - p, P - p + ratio, axis=0)
+        xi = jax.lax.slice_in_dim(xext[1], P - p, P - p + ratio, axis=0)
+        hr = H[0, p]
+        hi = H[1, p]
+        acc_r = acc_r + (xr * hr - xi * hi)
+        acc_i = acc_i + (xr * hi + xi * hr)
+    return jnp.stack([acc_r, acc_i], axis=0)
+
+
+def _head_step(xcarry, prev, H_head, x, B: int, ratio: int):
+    """Batched head evaluation.  Returns (y_head [C, SB], xcarry', prev')."""
+    C, SB = x.shape
+    windows = _head_windows(prev, x, B, ratio)          # [ratio, C, 2B]
+    Xnew = rfft_planes(windows, 2 * B)                  # [2, ratio, C, F]
+    xext = jnp.concatenate([xcarry, Xnew], axis=1)      # [2, P+ratio, C, F]
+    acc = _head_mac(xext, H_head, ratio)                # [2, ratio, C, F]
+    y2 = irfft_planes(acc, 2 * B)[..., B:]              # [ratio, C, B]
+    y_head = jnp.moveaxis(y2, 0, 1).reshape(C, SB)
+    P = H_head.shape[1]
+    return y_head, xext[:, -P:], x[:, -B:]
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _super_step(state: NonUniformState, H_head, H_tail, x, block: int):
+    """One super-block: ``x [C, B2]`` -> ``y [C, B2]``."""
+    ratio = x.shape[-1] // block
+    y_head, xcarry, prev = _head_step(
+        state.xcarry, state.prev, H_head, x, block, ratio
+    )
+    y = y_head + state.pending[0]
+    tail, out_tail = convolver_step(state.tail, H_tail, x)
+    pending = jnp.stack([state.pending[1], out_tail])
+    return NonUniformState(xcarry, prev, tail, pending), y
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _super_step_crossfade(
+    state: NonUniformState, H_head, H_head_new, H_tail, H_tail_new, x,
+    block: int,
+):
+    """Super-block in which the IR exchange begins."""
+    B = block
+    ratio = x.shape[-1] // B
+    C = x.shape[0]
+    windows = _head_windows(state.prev, x, B, ratio)
+    Xnew = rfft_planes(windows, 2 * B)
+    xext = jnp.concatenate([state.xcarry, Xnew], axis=1)
+    acc_new = _head_mac(xext, H_head_new, ratio)
+    # old filter needed only for block 0 of the fade
+    acc_old0 = _head_mac(xext[:, : H_head.shape[1] + 1], H_head, 1)
+    y2_new = irfft_planes(acc_new, 2 * B)[..., B:]      # [ratio, C, B]
+    y_old0 = irfft_planes(acc_old0, 2 * B)[..., B:][0]  # [C, B]
+    ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
+    y0 = (1 - ramp) * y_old0 + ramp * y2_new[0]
+    y2 = jnp.concatenate([y0[None], y2_new[1:]], axis=0)
+    y_head = jnp.moveaxis(y2, 0, 1).reshape(C, ratio * B)
+
+    y = y_head + state.pending[0]
+    tail, out_tail = convolver_step_crossfade(
+        state.tail, H_tail, H_tail_new, x
+    )
+    pending = jnp.stack([state.pending[1], out_tail])
+    P = H_head.shape[1]
+    return (
+        NonUniformState(xext[:, -P:], x[:, -B:], tail, pending),
+        y,
+    )
+
+
+@partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
+def nonuniform_render(state: NonUniformState, H_head, H_tail, x, block: int):
+    """Render ``[C, T]`` (T multiple of the super-block) via on-device scan
+    over SUPER-blocks (the per-small-block scan no longer exists)."""
+    C, T = x.shape
+    B2 = state.pending.shape[-1]
+    nsuper = T // B2
+    blocks = jnp.moveaxis(x.reshape(C, nsuper, B2), 1, 0)
+
+    def body(st, xb):
+        return _super_step(st, H_head, H_tail, xb, block)
+
+    state, ys = jax.lax.scan(body, state, blocks)
+    return state, jnp.moveaxis(ys, 0, 1).reshape(C, T)
+
+
+class NonUniformConvolver:
+    """Streaming two-level partitioned convolver.
+
+    Same API family as :class:`BlockConvolver`; ``process_block`` consumes
+    SUPER-blocks of ``ratio * block`` samples (internal output latency is
+    still one small block within the super-block).
+    """
+
+    def __init__(self, ir, block: int, ratio: int = 8,
+                 nchannels: int | None = None, dtype=jnp.float32):
+        ir2 = np.atleast_2d(np.asarray(ir))
+        if nchannels is None:
+            nchannels = ir2.shape[0]
+        if ir2.shape[0] == 1 and nchannels > 1:
+            ir2 = np.broadcast_to(ir2, (nchannels, ir2.shape[1]))
+        self.block = int(block)
+        self.ratio = int(ratio)
+        self.super_block = self.block * self.ratio
+        self.nchannels = nchannels
+        head, tail = _split_ir(ir2, self.block, self.ratio)
+        self.head_parts = 2 * self.ratio
+        self.H_head = partition_ir(head, self.block, self.head_parts)
+        if tail is None:
+            tail = np.zeros((nchannels, 1))
+        self.tail_parts = max(1, -(-tail.shape[1] // self.super_block))
+        self.H_tail = partition_ir(tail, self.super_block, self.tail_parts)
+        F = self.block + 1
+        self.state = NonUniformState(
+            xcarry=jnp.zeros((2, self.head_parts, nchannels, F), dtype),
+            prev=jnp.zeros((nchannels, self.block), dtype),
+            tail=convolver_init(nchannels, self.super_block, self.tail_parts,
+                                dtype),
+            pending=jnp.zeros((2, nchannels, self.super_block), dtype),
+        )
+        self._pending_swap = None
+
+    def set_filter(self, ir) -> None:
+        """Click-free IR exchange starting at the next super-block."""
+        ir2 = np.atleast_2d(np.asarray(ir))
+        if ir2.shape[0] == 1 and self.nchannels > 1:
+            ir2 = np.broadcast_to(ir2, (self.nchannels, ir2.shape[1]))
+        head, tail = _split_ir(ir2, self.block, self.ratio)
+        if tail is None:
+            tail = np.zeros((self.nchannels, 1))
+        self._pending_swap = (
+            partition_ir(head, self.block, self.head_parts),
+            partition_ir(tail, self.super_block, self.tail_parts),
+        )
+
+    def process_block(self, x: jax.Array) -> jax.Array:
+        """``x [C, ratio*block]`` -> convolved super-block."""
+        assert x.shape[-1] == self.super_block
+        if self._pending_swap is not None:
+            Hh, Ht = self._pending_swap
+            self.state, y = _super_step_crossfade(
+                self.state, self.H_head, Hh, self.H_tail, Ht, x, self.block
+            )
+            self.H_head, self.H_tail = Hh, Ht
+            self._pending_swap = None
+        else:
+            self.state, y = _super_step(
+                self.state, self.H_head, self.H_tail, x, self.block
+            )
+        return y
+
+    def process(self, x: jax.Array) -> jax.Array:
+        """Whole-signal on-device render (T multiple of the super-block)."""
+        self.state, y = nonuniform_render(
+            self.state, self.H_head, self.H_tail, x, self.block
+        )
+        return y
+
+    def reset(self) -> None:
+        s = self.state
+        self.state = NonUniformState(
+            xcarry=jnp.zeros_like(s.xcarry),
+            prev=jnp.zeros_like(s.prev),
+            tail=convolver_init(self.nchannels, self.super_block,
+                                self.tail_parts, s.prev.dtype),
+            pending=jnp.zeros_like(s.pending),
+        )
