@@ -2,7 +2,7 @@
 BlockConvolver/Convolver capability, ref: README:38-44, rebuilt TPU-first).
 """
 
-from .fft import rfft_planes, irfft_planes, cmul, register_backend, backends, default_backend
+from .fft import rfft_planes, irfft_planes, cmul, register_backend, backends, default_backend, set_precision
 from .block import (
     BlockConvolver,
     ConvolverState,
@@ -29,6 +29,7 @@ __all__ = [
     "irfft_planes",
     "cmul",
     "default_backend",
+    "set_precision",
     "register_backend",
     "backends",
     "BlockConvolver",

@@ -40,11 +40,23 @@ __all__ = [
     "backends",
 ]
 
-# HIGH = 3-pass bf16 operand splitting on the MXU: ~1.2e-5 operand rounding
-# with float32 accumulation.  System-level SNR of the full convolver chain
-# measured IDENTICAL to HIGHEST (136 dB vs float64 golden — accumulation
-# error dominates), at ~2/3 the MXU cost of HIGHEST's 6 passes.
+# MXU operand precision for the DFT matmuls.  Measured on the full 64ch x
+# 32k-tap convolver chain vs the float64 golden model:
+#   HIGH    (bf16x2-ish operand splitting, ~1.2e-5): 94 dB system SNR
+#   HIGHEST (full f32-faithful, ~1.3e-7):           136 dB system SNR
+# Both clear the >=90 dB requirement; HIGH is the default because the DFT
+# matmuls are ~half the per-block cost and HIGH runs them ~1.5x faster.
+# Flip with set_precision() when maximum accuracy matters more than speed.
 _PREC = jax.lax.Precision.HIGH
+
+
+def set_precision(p) -> None:
+    """Set MXU precision for DFT matmuls ("high"/"highest" or a
+    jax.lax.Precision).  Takes effect for newly traced computations."""
+    global _PREC
+    if isinstance(p, str):
+        p = getattr(jax.lax.Precision, p.upper())
+    _PREC = p
 
 # host-side cache of DFT matrices per n: (cos [n,F], msin [n,F], icos [F,n],
 # isin [F,n]) as float32 numpy (numpy, not jnp, so jit traces never leak)

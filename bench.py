@@ -33,11 +33,11 @@ def main() -> None:
     import jax.numpy as jnp
     from scipy.signal import fftconvolve
 
-    from bbcat_dsp_tpu.convolve import BlockConvolver, convolver_render
+    from bbcat_dsp_tpu.convolve import NonUniformConvolver, nonuniform_render
 
     fs = 48000.0
     C, N, B = 64, 32768, 512
-    nblocks = 32  # per timed render call
+    nblocks = 64  # per timed render call (multiple of ratio)
     T = B * nblocks
 
     rng = np.random.default_rng(0)
@@ -46,7 +46,7 @@ def main() -> None:
     )
     x = rng.standard_normal((C, T)).astype(np.float32)
 
-    conv = BlockConvolver(irs, block=B)
+    conv = NonUniformConvolver(irs, block=B, ratio=8)
     xd = jnp.asarray(x)
 
     # accuracy: one channel vs float64 golden convolution
@@ -61,8 +61,9 @@ def main() -> None:
     # device-side scalar fetch and measure the SLOPE between a short and a
     # long chain of renders (intercept = relay RTT, slope = true cost).
     conv.reset()
-    state, H = conv.state, conv.H
-    state, yw = convolver_render(state, H, xd, B)  # warm-up/compile
+    state = conv.state
+    Hh, Ht = conv.H_head, conv.H_tail
+    state, yw = nonuniform_render(state, Hh, Ht, xd, B)  # warm-up/compile
     float(jnp.sum(yw))
 
     def chain(n: int) -> float:
@@ -71,7 +72,7 @@ def main() -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(n):
-                state, yy = convolver_render(state, H, xd, B)
+                state, yy = nonuniform_render(state, Hh, Ht, xd, B)
             float(jnp.sum(yy))
             best = min(best, time.perf_counter() - t0)
         return best
@@ -92,6 +93,7 @@ def main() -> None:
         "vs_baseline": round(float(rtf) / 100.0, 3),
         "snr_db_vs_golden": round(float(snr), 1),
         "samples_per_sec_per_chip": int(samples_per_sec_per_chip),
+        "engine": "nonuniform_partitioned(B=512, ratio=8)",
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
