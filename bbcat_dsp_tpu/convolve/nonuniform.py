@@ -78,7 +78,16 @@ def _head_mac(xext: jax.Array, H: jax.Array, ratio: int):
     """acc[i] = sum_p xext[P+i-p] * H[p] — P fused shifted complex MACs.
 
     ``xext [2, P+ratio, C, F]``, ``H [2, P, C, F]`` -> ``[2, ratio, C, F]``.
+
+    With ``BBCAT_DSP_PALLAS_MAC=1`` the fused Pallas kernel
+    (:mod:`bbcat_dsp_tpu.ops.pallas.spectral_mac`) runs instead of the XLA
+    formulation (bit-exact; see that module for when it pays).
     """
+    from ..ops_pallas_hook import maybe_pallas_mac
+
+    out = maybe_pallas_mac(xext, H, ratio)
+    if out is not None:
+        return out
     P = H.shape[1]
     acc_r = jnp.zeros_like(xext[0, :ratio])
     acc_i = jnp.zeros_like(xext[0, :ratio])

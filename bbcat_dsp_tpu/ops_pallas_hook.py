@@ -1,0 +1,12 @@
+"""Late-bound hook connecting convolve to the optional Pallas kernels
+(avoids a convolve <-> ops import cycle)."""
+
+from __future__ import annotations
+
+
+def maybe_pallas_mac(xext, H, ratio):
+    from .ops.pallas.spectral_mac import head_mac_pallas, pallas_mac_enabled
+
+    if not pallas_mac_enabled():
+        return None
+    return head_mac_pallas(xext, H, ratio)
