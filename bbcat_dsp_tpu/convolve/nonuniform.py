@@ -161,6 +161,20 @@ def _super_step_crossfade(
     )
 
 
+@jax.jit
+def _head_step_single(xcarry, prev, H_head, x):
+    """Single small-block head step (the low-latency streaming path):
+    ``x [C, B]`` -> ``y_head [C, B]``; state advances by one block."""
+    window = jnp.concatenate([prev, x], axis=-1)  # [C, 2B]
+    B = x.shape[-1]
+    Xnew = rfft_planes(window[None], 2 * B)       # [2, 1, C, F]
+    xext = jnp.concatenate([xcarry, Xnew], axis=1)
+    acc = _head_mac(xext, H_head, 1)
+    y = irfft_planes(acc, 2 * B)[..., B:][0]      # [C, B]
+    P = H_head.shape[1]
+    return y, xext[:, -P:], x
+
+
 @partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
 def nonuniform_render(state: NonUniformState, H_head, H_tail, x, block: int):
     """Render ``[C, T]`` (T multiple of the super-block) via on-device scan
@@ -212,6 +226,8 @@ class NonUniformConvolver:
             pending=jnp.zeros((2, nchannels, self.super_block), dtype),
         )
         self._pending_swap = None
+        self._sb_buf = jnp.zeros((nchannels, self.super_block), dtype)
+        self._sb_fill = 0
 
     def set_filter(self, ir) -> None:
         """Click-free IR exchange starting at the next super-block."""
@@ -229,6 +245,9 @@ class NonUniformConvolver:
     def process_block(self, x: jax.Array) -> jax.Array:
         """``x [C, ratio*block]`` -> convolved super-block."""
         assert x.shape[-1] == self.super_block
+        assert self._sb_fill == 0, (
+            "cannot mix process_block mid-way through small-block streaming"
+        )
         if self._pending_swap is not None:
             Hh, Ht = self._pending_swap
             self.state, y = _super_step_crossfade(
@@ -249,7 +268,43 @@ class NonUniformConvolver:
         )
         return y
 
+    def process_small_block(self, x: jax.Array) -> jax.Array:
+        """Low-latency streaming: one SMALL block ``[C, block]`` in/out.
+
+        The head runs per block; the tail convolver fires once every
+        ``ratio`` blocks on the accumulated super-block (its output is
+        already scheduled 2*B2 samples ahead, so the every-ratio cadence
+        never stalls the stream).  Interleave freely with the batched
+        ``process_block`` only at super-block boundaries.
+        """
+        B = self.block
+        assert x.shape[-1] == B
+        st = self.state
+        y_head, xcarry, prev = _head_step_single(
+            st.xcarry, st.prev, self.H_head, x
+        )
+        off = self._sb_fill * B
+        y = y_head + jax.lax.dynamic_slice_in_dim(
+            st.pending[0], off, B, axis=-1
+        )
+        self._sb_buf = jax.lax.dynamic_update_slice_in_dim(
+            self._sb_buf, x, off, axis=-1
+        )
+        self._sb_fill += 1
+        if self._sb_fill == self.ratio:
+            tail, out_tail = convolver_step(
+                st.tail, self.H_tail, self._sb_buf
+            )
+            pending = jnp.stack([st.pending[1], out_tail])
+            self._sb_fill = 0
+        else:
+            tail, pending = st.tail, st.pending
+        self.state = NonUniformState(xcarry, prev, tail, pending)
+        return y
+
     def reset(self) -> None:
+        self._sb_buf = jnp.zeros_like(self._sb_buf)
+        self._sb_fill = 0
         s = self.state
         self.state = NonUniformState(
             xcarry=jnp.zeros_like(s.xcarry),

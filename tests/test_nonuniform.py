@@ -80,3 +80,19 @@ def test_nonuniform_swap_click_free(rng):
     # no large discontinuity anywhere (click check)
     d = np.abs(np.diff(y))
     assert d.max() < 20 * np.median(np.abs(y) + 1e-9)
+
+
+def test_small_block_streaming_matches_batched(rng):
+    """Per-small-block low-latency path == batched super-block path."""
+    B, ratio = 32, 4
+    SB = B * ratio
+    T = SB * 5
+    N = 3 * SB
+    ir = rng.standard_normal((2, N)) * 0.2
+    x = rng.standard_normal((2, T)).astype(np.float32)
+    a = NonUniformConvolver(ir, block=B, ratio=ratio)
+    y_batched = np.asarray(a.process(jnp.asarray(x)))
+    b = NonUniformConvolver(ir, block=B, ratio=ratio)
+    outs = [np.asarray(b.process_small_block(jnp.asarray(x[:, i*B:(i+1)*B])))
+            for i in range(T // B)]
+    np.testing.assert_allclose(np.concatenate(outs, -1), y_batched, atol=2e-5)
