@@ -36,19 +36,40 @@ def int32_to_float(x: jax.Array) -> jax.Array:
     return x.astype(jnp.float32) * jnp.float32(_SCALE_DOWN)
 
 
-def quantize(x: jax.Array, fmt: SampleFormat) -> jax.Array:
+def quantize(x: jax.Array, fmt: SampleFormat, key=None) -> jax.Array:
     """Round-trip float32 through an integer format's quantisation grid.
 
     On-device equivalent of a float -> int -> float conversion chain: exposes
     exactly the precision loss a packed file write would introduce.
+
+    With a PRNG ``key``, TPDF dither is applied in the 32-bit integer
+    register before truncation — the same contract as the host
+    :class:`~bbcat_dsp_tpu.formats.dither.TPDFDitherer` (two uniforms over
+    one target LSB, offset by half an LSB to unbias the floor truncation;
+    ref: src/genconversions.php:220-223 placement), with jax.random instead
+    of the host RNG stream.
     """
-    v = float_to_int32(x)
     if fmt == SampleFormat.INT16:
-        v = (v >> 16) << 16
+        bits = 16
     elif fmt == SampleFormat.INT24:
-        v = (v >> 8) << 8
-    elif fmt not in (SampleFormat.INT32,):
+        bits = 8
+    elif fmt == SampleFormat.INT32:
+        bits = 0
+    else:
         raise ValueError(f"quantize expects an integer format, got {fmt!r}")
+    v = float_to_int32(x)
+    if key is not None and bits > 0:
+        lsb = 1 << bits
+        r = jax.random.randint(key, x.shape, 0, lsb, jnp.int32)
+        k2 = jax.random.fold_in(key, 1)
+        r = r + jax.random.randint(k2, x.shape, 0, lsb, jnp.int32)
+        # exact int32 add; pre-clamp so the +-1 LSB dither cannot wrap at
+        # the extremes (costs at most 2 LSB of headroom at digital full
+        # scale, matching the host path's saturation behaviour)
+        v = jnp.clip(v, -(2**31) + 2 * lsb, 2**31 - 1 - 2 * lsb)
+        v = v + (r - (lsb >> 1))
+    if bits:
+        v = (v >> bits) << bits
     return int32_to_float(v)
 
 
