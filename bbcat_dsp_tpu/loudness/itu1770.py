@@ -140,6 +140,8 @@ class MeterState(NamedTuple):
     hist_sum: jax.Array    # [nbins] sum of z per bin
     momentary_z: jax.Array  # [] last gating-block power
     short_ring: jax.Array   # [30] last 3 s of 100 ms powers
+    st_count: jax.Array     # [nbins] short-term loudness histogram (counts)
+    st_sum: jax.Array       # [nbins] short-term power sums (for LRA gating)
     nblocks: jax.Array      # [] int32
 
 
@@ -174,6 +176,8 @@ class LoudnessMeter:
             hist_sum=jnp.zeros((nbins,), jnp.float32),
             momentary_z=jnp.zeros((), jnp.float32),
             short_ring=jnp.zeros((30,), jnp.float32),
+            st_count=jnp.zeros((nbins,), jnp.int32),
+            st_sum=jnp.zeros((nbins,), jnp.float32),
             nblocks=jnp.zeros((), jnp.int32),
         )
         self._ingest = self._build_ingest()
@@ -206,6 +210,23 @@ class LoudnessMeter:
             keep = (l > ABSOLUTE_GATE_LKFS) & valid
             cnt = state.hist_count.at[bins].add(keep.astype(jnp.int32))
             sm = state.hist_sum.at[bins].add(jnp.where(keep, z, 0.0))
+            # short-term (3 s) loudness per new block via a sliding mean
+            # over the power history; feeds the LRA histogram (EBU R128 /
+            # Tech 3342 uses the short-term distribution)
+            zhist = jnp.concatenate([state.short_ring, z])
+            zcs = jnp.cumsum(zhist)
+            zcs = jnp.concatenate([jnp.zeros((1,), zcs.dtype), zcs])
+            ends = 30 + jnp.arange(ncomplete) + 1
+            st_z = (zcs[ends] - zcs[ends - 30]) / 30.0
+            st_l = _OFFSET + 10.0 * jnp.log10(jnp.maximum(st_z, 1e-30))
+            st_valid = (gidx >= 32) & (st_l > ABSOLUTE_GATE_LKFS)
+            st_bins = jnp.clip(
+                ((st_l - hmin) / hstep).astype(jnp.int32), 0, nbins - 1
+            )
+            st_cnt = state.st_count.at[st_bins].add(
+                st_valid.astype(jnp.int32))
+            st_sm = state.st_sum.at[st_bins].add(
+                jnp.where(st_valid, st_z, 0.0))
             # rings for momentary / short-term
             if ncomplete >= 30:
                 ring = z[-30:]
@@ -220,6 +241,8 @@ class LoudnessMeter:
                 hist_count=cnt, hist_sum=sm,
                 momentary_z=z[-1],
                 short_ring=ring,
+                st_count=st_cnt,
+                st_sum=st_sm,
                 nblocks=state.nblocks + ncomplete,
             )
 
@@ -260,6 +283,27 @@ class LoudnessMeter:
             return -np.inf
         return _OFFSET + 10.0 * np.log10(max(sm[mask].sum() / n, 1e-30))
 
+    def loudness_range(self) -> float:
+        """LRA in LU (EBU R128 / Tech 3342): p95 - p10 of the gated
+        short-term loudness distribution (absolute gate -70 LUFS, relative
+        gate -20 LU below the power-gated mean)."""
+        cnt = np.asarray(self.state.st_count, np.float64)
+        sm = np.asarray(self.state.st_sum, np.float64)
+        n = cnt.sum()
+        if n < 2:
+            return 0.0
+        z_mean = sm.sum() / n
+        thresh = _OFFSET + 10.0 * np.log10(max(z_mean, 1e-30)) - 20.0
+        centers = self.HIST_MIN + (np.arange(cnt.size) + 0.5) * self.HIST_STEP
+        gated = np.where(centers > thresh, cnt, 0.0)
+        total = gated.sum()
+        if total < 2:
+            return 0.0
+        cum = np.cumsum(gated) / total
+        lo = centers[np.searchsorted(cum, 0.10)]
+        hi = centers[min(np.searchsorted(cum, 0.95), cnt.size - 1)]
+        return float(hi - lo)
+
     def reset(self) -> None:
         z = self.state
         self.state = MeterState(
@@ -270,5 +314,7 @@ class LoudnessMeter:
             hist_sum=jnp.zeros_like(z.hist_sum),
             momentary_z=jnp.zeros_like(z.momentary_z),
             short_ring=jnp.zeros_like(z.short_ring),
+            st_count=jnp.zeros_like(z.st_count),
+            st_sum=jnp.zeros_like(z.st_sum),
             nblocks=jnp.zeros_like(z.nblocks),
         )

@@ -24,7 +24,7 @@ from ..convolve.matrix import (
     matrix_step_crossfade,
     partition_ir_matrix,
 )
-from ..filters.iir import ModalParams, ModalState, modal_apply, modal_init, modal_params
+from ..filters.iir import modal_apply, modal_init, modal_params
 from ..loudness import LoudnessMeter
 
 __all__ = ["BinauralState", "binaural_init", "binaural_step", "BinauralRenderer"]

@@ -31,6 +31,16 @@ class Interpolator(NamedTuple):
     current: jax.Array
     target: jax.Array
 
+    @property
+    def nonzero(self):
+        """Either endpoint nonzero (ref: NonZero, src/Interpolator.h:25)."""
+        return (self.current != 0) | (self.target != 0)
+
+    @property
+    def at_target(self):
+        """Ramp finished (ref: AtTarget, src/Interpolator.h:73)."""
+        return self.current == self.target
+
 
 def interpolator(current=0.0, target=0.0, dtype=jnp.float32) -> Interpolator:
     return Interpolator(jnp.asarray(current, dtype), jnp.asarray(target, dtype))

@@ -29,7 +29,6 @@ from jax import shard_map
 
 from ..convolve.block import (
     ConvolverState,
-    convolver_init,
     convolver_render,
     convolver_step,
 )

@@ -83,3 +83,24 @@ def test_true_peak_intersample_overs():
     sample_peak = 20 * np.log10(np.abs(x).max())
     assert tp > sample_peak + 0.5  # detects inter-sample peak
     assert abs(tp - 0.0) < 0.35  # true crest of the sine is 1.0
+
+
+def test_loudness_range(rng):
+    """LRA of an alternating loud/quiet program is ~ the level difference;
+    LRA of stationary noise is near zero (EBU R128 semantics)."""
+    fs = FS
+    loud = _sine(997.0, 8.0, -15.0)
+    quiet = _sine(997.0, 8.0, -35.0)
+    x = np.concatenate([loud, quiet, loud, quiet]).astype(np.float32)
+    m = LoudnessMeter(1, fs)
+    chunk = m.step * 10
+    for i in range(x.size // chunk):
+        m.process(jnp.asarray(x[None, i*chunk:(i+1)*chunk]))
+    lra = m.loudness_range()
+    assert 12.0 < lra < 22.0  # ~20 LU spread, softened by gating/percentiles
+
+    m2 = LoudnessMeter(1, fs)
+    y = (rng.standard_normal(int(fs * 10)) * 0.05).astype(np.float32)
+    for i in range(y.size // chunk):
+        m2.process(jnp.asarray(y[None, i*chunk:(i+1)*chunk]))
+    assert m2.loudness_range() < 1.5
