@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fft import rfft_planes, irfft_planes
+from .fft import (
+    half_window_signs,
+    irfft_tail_planes,
+    rfft_half_planes,
+)
 
 __all__ = [
     "ConvolverState",
@@ -47,10 +51,13 @@ __all__ = [
 
 class ConvolverState(NamedTuple):
     """Streaming state (the checkpointable pytree, SURVEY.md §5): spectral
-    input queue (re/im planes), overlap-save history block, block counter."""
+    input queue (re/im planes), the previous block's half-window spectrum,
+    block counter."""
 
     queue: jax.Array  # [2, P, C, F] float — spectra of past input windows
-    prev: jax.Array   # [C, B] float — previous input block
+    prev: jax.Array   # [2, C, F] float — half-window spectrum of the
+                      # previous input block (window assembly via the
+                      # shift theorem; see fft.rfft_half_planes)
     step: jax.Array   # int32 — blocks processed (queue write cursor)
 
 
@@ -83,27 +90,32 @@ def convolver_init(
 ) -> ConvolverState:
     return ConvolverState(
         queue=jnp.zeros((2, nparts, nchannels, block + 1), dtype),
-        prev=jnp.zeros((nchannels, block), dtype),
+        prev=jnp.zeros((2, nchannels, block + 1), dtype),
         step=jnp.zeros((), jnp.int32),
     )
 
 
 def _push(state: ConvolverState, x: jax.Array):
-    """Window, rFFT, circular queue write, rotated gather.
+    """Half-window rFFT, window assembly, circular queue write, rotated
+    gather.
 
-    Returns ``(new_queue, q_rot)`` where ``q_rot[:, p]`` is the spectrum of
-    input block ``step - p`` (what partition p must multiply).
+    The window spectrum is ``Xhalf_prev + (-1)^k * Xhalf_cur`` (shift
+    theorem) so only the B NEW samples are transformed.  Returns
+    ``(new_queue, q_rot, xtilde)`` where ``q_rot[:, p]`` is the spectrum of
+    input block ``step - p`` and ``xtilde`` the current half spectrum (the
+    next state's ``prev``).
     """
     _, P, C, F = state.queue.shape
     B = x.shape[-1]
-    window = jnp.concatenate([state.prev, x], axis=-1)  # [C, 2B]
-    X = rfft_planes(window, 2 * B)  # [2, C, F]
+    xt = rfft_half_planes(x, 2 * B)  # [2, C, F]
+    s = jnp.asarray(half_window_signs(2 * B))
+    X = state.prev + s * xt
     slot = jnp.mod(state.step, P)
     queue = jax.lax.dynamic_update_slice(
         state.queue, X[:, None].astype(state.queue.dtype), (0, slot, 0, 0)
     )
     idx = jnp.mod(slot - jnp.arange(P), P)
-    return queue, queue[:, idx]
+    return queue, queue[:, idx], xt
 
 
 def _mac(q_rot: jax.Array, H: jax.Array) -> jax.Array:
@@ -117,9 +129,9 @@ def _mac(q_rot: jax.Array, H: jax.Array) -> jax.Array:
 def convolver_step(state: ConvolverState, H: jax.Array, x: jax.Array):
     """One block: ``x [C, B]`` in, ``y [C, B]`` out (SURVEY.md §3.7 flow)."""
     B = x.shape[-1]
-    queue, q_rot = _push(state, x)
-    y = irfft_planes(_mac(q_rot, H), 2 * B)[..., B:].astype(x.dtype)
-    return ConvolverState(queue, x, state.step + 1), y
+    queue, q_rot, xt = _push(state, x)
+    y = irfft_tail_planes(_mac(q_rot, H), 2 * B).astype(x.dtype)
+    return ConvolverState(queue, xt, state.step + 1), y
 
 
 @jax.jit
@@ -130,12 +142,12 @@ def convolver_step_crossfade(
     the outputs fade linearly (r[n] = (n+1)/B) — the golden-model crossfade
     contract."""
     B = x.shape[-1]
-    queue, q_rot = _push(state, x)
-    y_old = irfft_planes(_mac(q_rot, H_old), 2 * B)[..., B:]
-    y_new = irfft_planes(_mac(q_rot, H_new), 2 * B)[..., B:]
+    queue, q_rot, xt = _push(state, x)
+    y_old = irfft_tail_planes(_mac(q_rot, H_old), 2 * B)
+    y_new = irfft_tail_planes(_mac(q_rot, H_new), 2 * B)
     ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
     y = ((1 - ramp) * y_old + ramp * y_new).astype(x.dtype)
-    return ConvolverState(queue, x, state.step + 1), y
+    return ConvolverState(queue, xt, state.step + 1), y
 
 
 @partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))

@@ -250,6 +250,46 @@ def rfft_planes(x: jax.Array, n: int, backend: str | None = None) -> jax.Array:
     return _BACKENDS[backend or default_backend()][0](x, n)
 
 
+def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None) -> jax.Array:
+    """rFFT of ``[x, zeros]`` where ``len(x) == n//2`` — the overlap-save
+    half-window transform.
+
+    The full window spectrum then assembles as
+    ``X_window = Xhalf_prev + (-1)^k * Xhalf_cur`` (shift theorem for the
+    second half), so streaming engines transform only n/2 NEW samples per
+    block instead of the whole 2B window — half the forward-DFT matmul.
+    """
+    b = backend or default_backend()
+    if b == "dftmm" and n <= _MAX_DIRECT:
+        cos, msin, _, _ = _mats(n)
+        h = n // 2
+        re = jnp.matmul(x, jnp.asarray(cos[:h]), precision=_PREC)
+        im = jnp.matmul(x, jnp.asarray(msin[:h]), precision=_PREC)
+        return jnp.stack([re, im], axis=0)
+    return _BACKENDS[b][0](x, n)
+
+
+def half_window_signs(n: int) -> np.ndarray:
+    """The (-1)^k spectrum signs for the second-half shift ([n//2+1])."""
+    s = np.ones(n // 2 + 1, np.float32)
+    s[1::2] = -1.0
+    return s
+
+
+def irfft_tail_planes(spec: jax.Array, n: int, backend: str | None = None) -> jax.Array:
+    """Inverse rFFT returning ONLY the last ``n//2`` samples — all
+    overlap-save ever keeps — at half the inverse-DFT matmul cost."""
+    b = backend or default_backend()
+    if b == "dftmm" and n <= _MAX_DIRECT:
+        _, _, icos, isin = _mats(n)
+        h = n // 2
+        return (
+            jnp.matmul(spec[0], jnp.asarray(icos[:, h:]), precision=_PREC)
+            + jnp.matmul(spec[1], jnp.asarray(isin[:, h:]), precision=_PREC)
+        )
+    return _BACKENDS[b][1](spec, n)[..., n // 2:]
+
+
 def irfft_planes(spec: jax.Array, n: int, backend: str | None = None) -> jax.Array:
     """``[2, ..., F]`` planes -> ``n`` real samples on the last axis."""
     return _BACKENDS[backend or default_backend()][1](spec, n)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fft import irfft_planes
+from .fft import irfft_tail_planes
 from .block import ConvolverState, convolver_init, _push
 
 __all__ = [
@@ -64,9 +64,9 @@ def _mix(q_rot: jax.Array, H: jax.Array) -> jax.Array:
 def matrix_step(state: ConvolverState, H: jax.Array, x: jax.Array):
     """One block: ``x [C_in, B]`` -> ``y [C_out, B]``."""
     B = x.shape[-1]
-    queue, q_rot = _push(state, x)
-    y = irfft_planes(_mix(q_rot, H), 2 * B)[..., B:].astype(x.dtype)
-    return ConvolverState(queue, x, state.step + 1), y
+    queue, q_rot, xt = _push(state, x)
+    y = irfft_tail_planes(_mix(q_rot, H), 2 * B).astype(x.dtype)
+    return ConvolverState(queue, xt, state.step + 1), y
 
 
 @jax.jit
@@ -74,12 +74,12 @@ def matrix_step_crossfade(
     state: ConvolverState, H_old: jax.Array, H_new: jax.Array, x: jax.Array
 ):
     B = x.shape[-1]
-    queue, q_rot = _push(state, x)
-    y_old = irfft_planes(_mix(q_rot, H_old), 2 * B)[..., B:]
-    y_new = irfft_planes(_mix(q_rot, H_new), 2 * B)[..., B:]
+    queue, q_rot, xt = _push(state, x)
+    y_old = irfft_tail_planes(_mix(q_rot, H_old), 2 * B)
+    y_new = irfft_tail_planes(_mix(q_rot, H_new), 2 * B)
     ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
     y = ((1 - ramp) * y_old + ramp * y_new).astype(x.dtype)
-    return ConvolverState(queue, x, state.step + 1), y
+    return ConvolverState(queue, xt, state.step + 1), y
 
 
 class MatrixConvolver:

@@ -42,7 +42,7 @@ from .block import (
     convolver_step_crossfade,
     partition_ir,
 )
-from .fft import irfft_planes, rfft_planes
+from .fft import half_window_signs, irfft_tail_planes, rfft_half_planes
 
 __all__ = ["NonUniformState", "NonUniformConvolver", "nonuniform_render"]
 
@@ -50,7 +50,8 @@ __all__ = ["NonUniformState", "NonUniformConvolver", "nonuniform_render"]
 class NonUniformState(NamedTuple):
     xcarry: jax.Array   # [2, P_head, C, F] last P_head window spectra
                         # (oldest..newest along axis 1)
-    prev: jax.Array     # [C, B] last B input samples
+    prev: jax.Array     # [2, C, F] half-window spectrum of the previous
+                        # small block (window assembly via shift theorem)
     tail: ConvolverState
     pending: jax.Array  # [2, C, B2] tail outputs awaiting their time slot
 
@@ -63,15 +64,19 @@ def _split_ir(ir: np.ndarray, block: int, ratio: int):
     return head, tail
 
 
-def _head_windows(prev: jax.Array, x: jax.Array, B: int, ratio: int):
-    """All ``ratio`` overlap-save windows of the super-block, batched:
-    ``[ratio, C, 2B]``."""
-    ext = jnp.concatenate([prev, x], axis=-1)  # [C, B + ratio*B]
-    return jnp.stack(
-        [jax.lax.slice_in_dim(ext, i * B, i * B + 2 * B, axis=-1)
-         for i in range(ratio)],
-        axis=0,
-    )
+def _head_spectra(prev_xt: jax.Array, x: jax.Array, B: int, ratio: int):
+    """Window spectra for all ``ratio`` blocks of the super-block via the
+    half-window shift-theorem assembly (one half-DFT per block).
+
+    Returns ``(X [2, ratio, C, F], new_prev_xt [2, C, F])``.
+    """
+    C = x.shape[0]
+    xb = jnp.moveaxis(x.reshape(C, ratio, B), 1, 0)   # [ratio, C, B]
+    xt = rfft_half_planes(xb, 2 * B)                  # [2, ratio, C, F]
+    ext = jnp.concatenate([prev_xt[:, None], xt], axis=1)
+    s = jnp.asarray(half_window_signs(2 * B))
+    X = ext[:, :-1] + s * ext[:, 1:]
+    return X, xt[:, -1]
 
 
 def _head_mac(xext: jax.Array, H: jax.Array, ratio: int):
@@ -104,14 +109,13 @@ def _head_mac(xext: jax.Array, H: jax.Array, ratio: int):
 def _head_step(xcarry, prev, H_head, x, B: int, ratio: int):
     """Batched head evaluation.  Returns (y_head [C, SB], xcarry', prev')."""
     C, SB = x.shape
-    windows = _head_windows(prev, x, B, ratio)          # [ratio, C, 2B]
-    Xnew = rfft_planes(windows, 2 * B)                  # [2, ratio, C, F]
+    Xnew, prev_xt = _head_spectra(prev, x, B, ratio)    # [2, ratio, C, F]
     xext = jnp.concatenate([xcarry, Xnew], axis=1)      # [2, P+ratio, C, F]
     acc = _head_mac(xext, H_head, ratio)                # [2, ratio, C, F]
-    y2 = irfft_planes(acc, 2 * B)[..., B:]              # [ratio, C, B]
+    y2 = irfft_tail_planes(acc, 2 * B)                  # [ratio, C, B]
     y_head = jnp.moveaxis(y2, 0, 1).reshape(C, SB)
     P = H_head.shape[1]
-    return y_head, xext[:, -P:], x[:, -B:]
+    return y_head, xext[:, -P:], prev_xt
 
 
 @partial(jax.jit, static_argnames=("block",))
@@ -136,14 +140,13 @@ def _super_step_crossfade(
     B = block
     ratio = x.shape[-1] // B
     C = x.shape[0]
-    windows = _head_windows(state.prev, x, B, ratio)
-    Xnew = rfft_planes(windows, 2 * B)
+    Xnew, prev_xt = _head_spectra(state.prev, x, B, ratio)
     xext = jnp.concatenate([state.xcarry, Xnew], axis=1)
     acc_new = _head_mac(xext, H_head_new, ratio)
     # old filter needed only for block 0 of the fade
     acc_old0 = _head_mac(xext[:, : H_head.shape[1] + 1], H_head, 1)
-    y2_new = irfft_planes(acc_new, 2 * B)[..., B:]      # [ratio, C, B]
-    y_old0 = irfft_planes(acc_old0, 2 * B)[..., B:][0]  # [C, B]
+    y2_new = irfft_tail_planes(acc_new, 2 * B)          # [ratio, C, B]
+    y_old0 = irfft_tail_planes(acc_old0, 2 * B)[0]      # [C, B]
     ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
     y0 = (1 - ramp) * y_old0 + ramp * y2_new[0]
     y2 = jnp.concatenate([y0[None], y2_new[1:]], axis=0)
@@ -156,7 +159,7 @@ def _super_step_crossfade(
     pending = jnp.stack([state.pending[1], out_tail])
     P = H_head.shape[1]
     return (
-        NonUniformState(xext[:, -P:], x[:, -B:], tail, pending),
+        NonUniformState(xext[:, -P:], prev_xt, tail, pending),
         y,
     )
 
@@ -165,14 +168,13 @@ def _super_step_crossfade(
 def _head_step_single(xcarry, prev, H_head, x):
     """Single small-block head step (the low-latency streaming path):
     ``x [C, B]`` -> ``y_head [C, B]``; state advances by one block."""
-    window = jnp.concatenate([prev, x], axis=-1)  # [C, 2B]
     B = x.shape[-1]
-    Xnew = rfft_planes(window[None], 2 * B)       # [2, 1, C, F]
+    Xnew, prev_xt = _head_spectra(prev, x, B, 1)  # [2, 1, C, F]
     xext = jnp.concatenate([xcarry, Xnew], axis=1)
     acc = _head_mac(xext, H_head, 1)
-    y = irfft_planes(acc, 2 * B)[..., B:][0]      # [C, B]
+    y = irfft_tail_planes(acc, 2 * B)[0]          # [C, B]
     P = H_head.shape[1]
-    return y, xext[:, -P:], x
+    return y, xext[:, -P:], prev_xt
 
 
 @partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
@@ -220,7 +222,7 @@ class NonUniformConvolver:
         F = self.block + 1
         self.state = NonUniformState(
             xcarry=jnp.zeros((2, self.head_parts, nchannels, F), dtype),
-            prev=jnp.zeros((nchannels, self.block), dtype),
+            prev=jnp.zeros((2, nchannels, F), dtype),
             tail=convolver_init(nchannels, self.super_block, self.tail_parts,
                                 dtype),
             pending=jnp.zeros((2, nchannels, self.super_block), dtype),

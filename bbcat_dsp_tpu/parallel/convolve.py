@@ -32,7 +32,7 @@ from ..convolve.block import (
     convolver_render,
     convolver_step,
 )
-from ..convolve.fft import rfft_planes
+from ..convolve.fft import rfft_half_planes, rfft_planes
 
 __all__ = [
     "channel_sharded_step",
@@ -50,7 +50,7 @@ def channel_sharded_step(mesh: Mesh, axis_name: str = "ch"):
     """
     state_spec = ConvolverState(
         queue=P(None, None, axis_name, None),
-        prev=P(axis_name, None),
+        prev=P(None, axis_name, None),
         step=P(),
     )
     h_spec = P(None, None, axis_name, None)
@@ -74,7 +74,7 @@ def channel_sharded_render(mesh: Mesh, block: int, axis_name: str = "ch"):
     signal via the on-device block scan (the pod-scale bench path)."""
     state_spec = ConvolverState(
         queue=P(None, None, axis_name, None),
-        prev=P(axis_name, None),
+        prev=P(None, axis_name, None),
         step=P(),
     )
     h_spec = P(None, None, axis_name, None)
@@ -146,7 +146,7 @@ def time_sharded_render(mesh: Mesh, block: int, nparts: int,
         queue = spectra  # slot k == window k (derivation above)
         state = ConvolverState(
             queue=queue,
-            prev=halo[:, -block:],
+            prev=rfft_half_planes(halo[:, -block:], 2 * block),
             step=jnp.asarray(nparts, jnp.int32),
         )
         _, y = convolver_render(state, H, x, block)
