@@ -64,16 +64,35 @@ class MultilayerBuffer:
         return self.min_position - self.base
 
     # -- producer side ---------------------------------------------------
+    def reserve_space(self, frames_in_flight: int) -> None:
+        """Grow the ring so ``frames_in_flight`` frames fit
+        (ref: ReserveSpace, src/MultilayerBuffer.h:160-167).  Doubles until
+        sufficient; contents and cursors are preserved."""
+        need = int(frames_in_flight)
+        if need <= self.capacity:
+            return
+        new_cap = self.capacity
+        while new_cap < need:
+            new_cap *= 2
+        old = np.asarray(self.data)
+        data = np.zeros((self.nchannels, new_cap), old.dtype)
+        # re-place live frames [base, max_position) at their new slots
+        live = self.max_position - self.base
+        if live > 0:
+            src_idx = (self.base + np.arange(live)) % self.capacity
+            dst_idx = (self.base + np.arange(live)) % new_cap
+            data[:, dst_idx] = old[:, src_idx]
+        self.capacity = new_cap
+        self.data = jnp.asarray(data)
+
     def write_layer(self, layer: int, block: jax.Array, mul: float = 1.0) -> None:
         """Mix ``[C, B]`` frames at this layer's cursor and advance it
-        (ref: WriteLayer + LayerWritten, .h:185-250)."""
+        (ref: WriteLayer + LayerWritten, .h:185-250).  Grows the ring when
+        needed (host-side re-allocation, ref: ReserveSpace)."""
         B = block.shape[-1]
         pos = int(self.positions[layer])
         if pos + B - self.base > self.capacity:
-            raise ValueError(
-                f"layer {layer} would overrun capacity {self.capacity}: "
-                f"wants {pos + B - self.base} frames in flight"
-            )
+            self.reserve_space(pos + B - self.base)
         self.data = _mix_at(
             self.data, block, jnp.asarray(pos % self.capacity), mul
         )

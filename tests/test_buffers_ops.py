@@ -203,3 +203,16 @@ def test_histogram_write_to_file(tmp_path):
     h.write_to_file(str(p))
     lines = p.read_text().strip().splitlines()
     assert len(lines) == 4
+
+
+def test_multilayer_grows(rng):
+    """ReserveSpace parity: the ring grows when a producer runs far ahead
+    (ref: src/MultilayerBuffer.h:160-167)."""
+    ml = MultilayerBuffer(2, 1, capacity=16)
+    a = rng.standard_normal((1, 64)).astype(np.float32)
+    b = rng.standard_normal((1, 64)).astype(np.float32)
+    ml.write_layer(0, jnp.asarray(a))  # 64 frames in flight > 16 capacity
+    assert ml.capacity >= 64
+    ml.write_layer(1, jnp.asarray(b))
+    got = np.asarray(ml.read(64))
+    np.testing.assert_allclose(got, a + b, atol=1e-6)
