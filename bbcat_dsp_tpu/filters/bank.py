@@ -253,6 +253,38 @@ class BiQuadCascade:
         self.engine = engine
         self.fs = fs
 
+    @classmethod
+    def from_interleaved(cls, coefficients, **kw) -> "BiQuadCascade":
+        """Load from the reference's interleaved vector
+        ``(g, b1[0], b2[0], a1[0], a2[0], b1[1], ...)`` of length
+        ``4*nstages + 1`` (ref: BiQuadCascade::SetCoefficients,
+        src/BiQuad.h:530-555).  The global output gain ``g`` folds into
+        stage 0's numerator."""
+        v = np.asarray(coefficients, np.float64).reshape(-1)
+        if (v.size - 1) % 4:
+            raise ValueError("expected 4*nstages + 1 coefficients")
+        n = (v.size - 1) // 4
+        g = v[0]
+        rows = []
+        for i in range(n):
+            b1, b2, a1, a2 = v[1 + 4 * i: 5 + 4 * i]
+            b0 = g if i == 0 else 1.0
+            rows.append([b0, b0 * b1, b0 * b2, a1, a2])
+        return cls(np.asarray(rows), **kw)
+
+    @classmethod
+    def from_split(cls, g, b1, b2, a1, a2, **kw) -> "BiQuadCascade":
+        """Load from the reference's split layout: global gain + four
+        per-stage coefficient arrays (ref: src/BiQuad.h:557-587)."""
+        b1, b2, a1, a2 = (np.asarray(a, np.float64).reshape(-1)
+                          for a in (b1, b2, a1, a2))
+        n = b1.size
+        rows = []
+        for i in range(n):
+            b0 = float(g) if i == 0 else 1.0
+            rows.append([b0, b0 * b1[i], b0 * b2[i], a1[i], a2[i]])
+        return cls(np.asarray(rows), **kw)
+
     def process(self, x: jax.Array) -> jax.Array:
         y, self.states = cascade_apply(
             x, self.coeffs, self.states, engine=self.engine,

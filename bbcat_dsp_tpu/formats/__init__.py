@@ -23,7 +23,7 @@ from .device import (
     quantize,
     transfer_window,
 )
-from .host import transfer_samples, transfer_samples_linear
+from .host import transfer_samples, transfer_samples_linear, transfer_samples_typed
 
 __all__ = [
     "SampleFormat",
@@ -46,4 +46,5 @@ __all__ = [
     "transfer_window",
     "transfer_samples",
     "transfer_samples_linear",
+    "transfer_samples_typed",
 ]

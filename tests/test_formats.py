@@ -239,3 +239,47 @@ class TestDeviceOps:
         q = np.asarray(quantize(x, SampleFormat.INT16))
         # every output on the 2^-15 grid
         np.testing.assert_allclose(q * 2**15, np.round(q * 2**15), atol=1e-6)
+
+
+def test_transfer_samples_typed(rng):
+    """Typed wrapper (ref: src/SoundFormatConversions.h:190-198): formats
+    inferred from dtypes."""
+    from bbcat_dsp_tpu.formats import transfer_samples_typed
+
+    src = (rng.standard_normal((10, 3)) * 0.4).astype(np.float32)
+    dst = np.zeros((10, 3), np.int16)
+    assert transfer_samples_typed(src, 0, dst, 0, 3, 10)
+    expect = np.trunc(
+        np.clip(src.astype(np.float64) * 2**31, -2**31, 2**31 - 1)
+    ).astype(np.int64) >> 16
+    np.testing.assert_array_equal(dst, expect.astype(np.int16))
+
+
+def test_cascade_loading_formats(rng):
+    """Interleaved / split coefficient loading (ref: src/BiQuad.h:530-587):
+    global gain + per-stage (b1,b2,a1,a2), b0 implied 1."""
+    import jax.numpy as jnp
+    from bbcat_dsp_tpu.filters import BiQuadCascade
+    from bbcat_dsp_tpu import golden
+
+    g = 0.5
+    b1 = [0.2, -0.1]
+    b2 = [0.05, 0.02]
+    a1 = [-0.3, 0.1]
+    a2 = [0.02, -0.05]
+    inter = [g]
+    for i in range(2):
+        inter += [b1[i], b2[i], a1[i], a2[i]]
+    c1 = BiQuadCascade.from_interleaved(inter)
+    c2 = BiQuadCascade.from_split(g, b1, b2, a1, a2)
+    x = rng.standard_normal(256).astype(np.float32)
+    y1 = np.asarray(c1.process(jnp.asarray(x)))
+    y2 = np.asarray(c2.process(jnp.asarray(x)))
+    np.testing.assert_allclose(y1, y2, atol=1e-6)
+    # golden: g applied once, stages serial with b0=1
+    coeffs = np.stack([
+        [g, g * b1[0], g * b2[0], a1[0], a2[0]],
+        [1.0, b1[1], b2[1], a1[1], a2[1]],
+    ])
+    ref, _ = golden.cascade_process(x, coeffs)
+    assert 10 * np.log10(np.sum(ref**2) / np.sum((ref - y1)**2)) > 90
