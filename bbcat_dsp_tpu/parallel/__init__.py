@@ -8,6 +8,7 @@ from .convolve import (
     channel_sharded_render,
     time_sharded_render,
 )
+from .loudness import sharded_integrated_loudness
 
 __all__ = [
     "make_mesh",
@@ -16,4 +17,5 @@ __all__ = [
     "channel_sharded_step",
     "channel_sharded_render",
     "time_sharded_render",
+    "sharded_integrated_loudness",
 ]

@@ -1,0 +1,197 @@
+"""Full benchmark sweep: every BASELINE.json config on real hardware.
+
+Writes BENCH_EXTRA.json (one entry per config) and prints a summary.
+
+    python scripts/bench_all.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+FS = 48000.0
+
+
+def _slope_time(run, n1=2, n2=10, reps=3):
+    """Per-call seconds via the slope method (see docs/PERFORMANCE.md)."""
+    import jax.numpy as jnp
+
+    run()  # compile
+
+    def chain(n):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(n):
+                last = run()
+            float(jnp.sum(last))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = chain(n1), chain(n2)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+def bench_config1():
+    """Mono 512-block 4096-tap uniform convolver."""
+    import jax.numpy as jnp
+    from bbcat_dsp_tpu.convolve import BlockConvolver, convolver_render
+
+    rng = np.random.default_rng(0)
+    B, N, T = 512, 4096, 512 * 64
+    ir = rng.standard_normal(N) * np.exp(-np.arange(N) / 500.0)
+    conv = BlockConvolver(ir, block=B)
+    x = jnp.asarray(rng.standard_normal((1, T)).astype(np.float32))
+    box = {"state": conv.state}
+
+    def run():
+        box["state"], y = convolver_render(box["state"], conv.H, x, B)
+        return y
+
+    dt = _slope_time(run)
+    return {"config": "1: mono 512-block 4096-tap", "rtf": T / FS / dt}
+
+
+def bench_config2():
+    """8-stage biquad EQ over 8 channels + fractional delay."""
+    import jax.numpy as jnp
+    from bbcat_dsp_tpu import golden
+    from bbcat_dsp_tpu.golden.biquad import FilterType
+    from bbcat_dsp_tpu.models import EQDelayPipeline
+
+    rng = np.random.default_rng(0)
+    C, B = 8, 4096
+    eq = np.stack([
+        golden.biquad_coeffs(FilterType.PEQ, 100.0 * (i + 1), FS,
+                             gain=(-1.0) ** i * 3.0)
+        for i in range(8)
+    ])
+    pipe = EQDelayPipeline(eq, nchannels=C, block=B, max_delay=256.0, fs=FS)
+    x = jnp.asarray(rng.standard_normal((C, B)).astype(np.float32))
+    delays = jnp.asarray(np.linspace(20, 200, C).astype(np.float32))[:, None]
+
+    def run():
+        return pipe.process_block(x, delays)
+
+    dt = _slope_time(run)
+    return {"config": "2: 8ch 8-stage EQ + fractional delay", "rtf": B / FS / dt}
+
+
+def bench_config3():
+    """64-in x 2-out HRTF matrix convolver."""
+    import jax.numpy as jnp
+    from bbcat_dsp_tpu.convolve import MatrixConvolver
+
+    rng = np.random.default_rng(0)
+    ci, B, N = 64, 512, 1024
+    irm = rng.standard_normal((ci, 2, N)) * np.exp(-np.arange(N) / 200.0)
+    conv = MatrixConvolver(irm, block=B)
+    x = jnp.asarray(rng.standard_normal((ci, B)).astype(np.float32))
+
+    def run():
+        return conv.process_block(x)
+
+    dt = _slope_time(run)
+    return {"config": "3: 64x2 HRTF matrix conv", "rtf": B / FS / dt}
+
+
+def bench_config4():
+    """128-channel loudness + mixdown pipeline."""
+    import jax.numpy as jnp
+    from bbcat_dsp_tpu.loudness import block_powers, k_weight_params
+    from bbcat_dsp_tpu.filters.iir import modal_apply, modal_init
+
+    rng = np.random.default_rng(0)
+    C, T = 128, 48000
+    x = jnp.asarray((rng.standard_normal((C, T)) * 0.1).astype(np.float32))
+    gains = jnp.asarray(rng.standard_normal((2, C)).astype(np.float32) * 0.1)
+    import jax
+
+    p_shelf, p_rlb = k_weight_params(FS)
+    s1 = modal_init(p_shelf, (C,))
+    s2 = modal_init(p_rlb, (C,))
+
+    @jax.jit
+    def step(x, s1, s2, g):
+        y, s1 = modal_apply(x, p_shelf, s1)
+        y, s2 = modal_apply(y, p_rlb, s2)
+        blk = int(round(0.4 * FS))
+        stp = int(round(0.1 * FS))
+        cs = jnp.cumsum(jnp.square(y), axis=-1)
+        nb = (T - blk) // stp + 1
+        starts = jnp.arange(nb) * stp
+        z = jnp.sum((cs[:, starts + blk - 1] - cs[:, starts]) / blk, axis=0)
+        mix = jnp.matmul(g, x, precision=jax.lax.Precision.HIGH)
+        return z, mix, s1, s2
+
+    box = {"s1": s1, "s2": s2}
+
+    def run():
+        z, mix, box["s1"], box["s2"] = step(x, box["s1"], box["s2"], gains)
+        return mix
+
+    dt = _slope_time(run)
+    return {"config": "4: 128ch loudness + mixdown (1s)", "rtf": T / FS / dt}
+
+
+def bench_config5():
+    """1024 channels x 64k-tap IRs — single-chip capacity point of the
+    pod-scale config (multi-host unavailable in this environment)."""
+    import jax.numpy as jnp
+    from bbcat_dsp_tpu.convolve import NonUniformConvolver, nonuniform_render
+
+    rng = np.random.default_rng(0)
+    C, N, B, ratio = 1024, 65536, 512, 8
+    SB = B * ratio
+    T = SB * 2
+    irs = (rng.standard_normal((C, N)) * np.exp(-np.arange(N) / 8000.0)
+           ).astype(np.float32)
+    conv = NonUniformConvolver(irs, block=B, ratio=ratio)
+    x = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32))
+    box = {"state": conv.state}
+
+    def run():
+        box["state"], y = nonuniform_render(
+            box["state"], conv.H_head, conv.H_tail, x, B
+        )
+        return y
+
+    dt = _slope_time(run, n1=1, n2=4)
+    return {
+        "config": "5: 1024ch x 64k-tap (single-chip capacity point)",
+        "rtf": T / FS / dt,
+        "samples_per_sec_per_chip": C * T / dt,
+    }
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    results = {"device": str(jax.devices()[0])}
+    for fn in [bench_config1, bench_config2, bench_config3, bench_config4,
+               bench_config5]:
+        try:
+            r = fn()
+        except Exception as e:  # noqa: BLE001
+            r = {"config": fn.__name__, "error": repr(e)[:300]}
+        key = fn.__name__
+        results[key] = r
+        print(json.dumps(r))
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_EXTRA.json"), "w") as fp:
+        json.dump(results, fp, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

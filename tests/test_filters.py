@@ -214,3 +214,38 @@ def test_cascade_response_product():
     ])
     h = cascade_response(coeffs, np.array([1000.0, 2000.0]), FS)
     np.testing.assert_allclose(np.abs(h), 1.0, atol=1e-9)
+
+
+@pytest.mark.parametrize("ftype", ALL_TYPES)
+def test_modal_engine_all_types_snr(rng, ftype):
+    """Every RBJ filter type through the default (modal) engine >= 90 dB."""
+    kw = {}
+    if ftype in (FilterType.PEQ, FilterType.LSH, FilterType.HSH):
+        kw["gain"] = 7.5
+    c = golden.biquad_coeffs(ftype, 740.0, FS, bandwidth=0.8, **kw)
+    x = rng.standard_normal(16384).astype(np.float32)
+    y_ref, _ = golden.biquad_process(x, c)
+    y, _ = biquad_apply(jnp.asarray(x), np.asarray(c))
+    assert snr_db(y_ref, np.asarray(y)) > 90.0
+
+
+def test_fractional_delay_line_streaming(rng):
+    """FractionalDelayLine: streamed writes + delayed reads track the
+    golden polyphase reader."""
+    from bbcat_dsp_tpu.filters import FractionalDelayLine
+
+    line = FractionalDelayLine(2, 256)
+    x = rng.standard_normal((2, 192)).astype(np.float32)
+    line.write(jnp.asarray(x[:, :64]))
+    line.write(jnp.asarray(x[:, 64:128]))
+    line.write(jnp.asarray(x[:, 128:]))
+    delays = jnp.asarray([[30.5], [75.25]], jnp.float32)
+    out = np.asarray(line.read(delays))
+    ring = np.zeros((2, 256), np.float64)
+    ring[:, :192] = x
+    for c, d in [(0, 30.5), (1, 75.25)]:
+        pos = (192 - d) % 256
+        want = golden.fractional_sample(
+            np.ascontiguousarray(ring.T).reshape(-1), c, 2, 256, float(pos)
+        )
+        assert abs(out[c, 0] - want) < 1e-3

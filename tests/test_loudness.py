@@ -104,3 +104,15 @@ def test_loudness_range(rng):
     for i in range(y.size // chunk):
         m2.process(jnp.asarray(y[None, i*chunk:(i+1)*chunk]))
     assert m2.loudness_range() < 1.5
+
+
+def test_k_weighting_other_sample_rates():
+    """The analogue-prototype redesign holds at 44.1 kHz: a 997 Hz sine
+    still reads -3.01 LKFS (mono, 0 dBFS)."""
+    fs = 44100.0
+    t = np.arange(int(fs * 3)) / fs
+    x = np.sin(2 * np.pi * 997.0 * t).astype(np.float32)
+    L = float(integrated_loudness(jnp.asarray(x[None]), fs))
+    assert abs(L - (-3.01)) < 0.1
+    ref = golden.integrated_loudness(x[None], fs)
+    assert abs(L - ref) < 0.05

@@ -75,3 +75,18 @@ def test_time_sharded_render_matches_single(rng):
     for c in range(C):
         refc = golden.direct_convolve(x[c].astype(np.float64), irs[c])[:T]
         assert snr_db(refc, y[c]) > 90.0
+
+
+def test_sharded_loudness_matches_single(rng):
+    """Channel-sharded loudness (psum collective) == single-device."""
+    from bbcat_dsp_tpu.loudness import integrated_loudness, default_channel_weights
+    from bbcat_dsp_tpu.parallel import sharded_integrated_loudness
+
+    C, T = 16, 48000
+    x = (rng.standard_normal((C, T)) * 0.1).astype(np.float32)
+    w = default_channel_weights(C).astype(np.float32)
+    ref = float(integrated_loudness(jnp.asarray(x), 48000.0, w))
+    mesh = make_mesh(8)
+    f = sharded_integrated_loudness(mesh, 48000.0, C)
+    got = float(f(jnp.asarray(x), jnp.asarray(w)))
+    assert abs(got - ref) < 0.02
