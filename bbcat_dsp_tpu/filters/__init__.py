@@ -13,7 +13,15 @@ from .biquad import (
     cascade_response,
     design_bank,
 )
-from .iir import biquad_apply, biquad_ssm, cascade_apply, interp_trajectory
+from .iir import (
+    ParallelCascadeParams,
+    biquad_apply,
+    biquad_ssm,
+    cascade_apply,
+    interp_trajectory,
+    parallel_cascade_apply,
+    parallel_cascade_params,
+)
 from .bank import (
     BankState,
     BiQuadBlock,
@@ -41,6 +49,9 @@ __all__ = [
     "biquad_apply",
     "biquad_ssm",
     "cascade_apply",
+    "ParallelCascadeParams",
+    "parallel_cascade_apply",
+    "parallel_cascade_params",
     "interp_trajectory",
     "BankState",
     "BiQuadBlock",

@@ -73,13 +73,58 @@ def fractional_read(buf: jax.Array, pos: jax.Array) -> jax.Array:
     base = (ipos + length - TAPS) % length
     taps = jnp.arange(TAPS, dtype=jnp.int32)
     idx = (base[..., None] + taps) % length  # [..., n, 14]
-    gathered = jnp.take_along_axis(
-        jnp.broadcast_to(buf[..., None, :], idx.shape[:-1] + (buf.shape[-1],)),
-        idx,
-        axis=-1,
+    # flat gather along the ring axis — NO [..., n, L] broadcast of the
+    # ring (which would materialise n copies of the buffer)
+    flat_idx = idx.reshape(idx.shape[:-2] + (-1,))
+    out_batch = jnp.broadcast_shapes(buf.shape[:-1], idx.shape[:-2])
+    flat_idx = jnp.broadcast_to(flat_idx, out_batch + flat_idx.shape[-1:])
+    bufb = jnp.broadcast_to(buf, out_batch + buf.shape[-1:])
+    gathered = jnp.take_along_axis(bufb, flat_idx, axis=-1).reshape(
+        out_batch + idx.shape[-2:]
     )
     weights = jnp.asarray(_table_phase_major(buf.dtype))[phase]  # [..., n, 14]
     return jnp.sum(gathered * weights, axis=-1).astype(buf.dtype)
+
+
+@partial(jax.jit, static_argnames=("n", "out_len"))
+def fractional_read_stream(buf: jax.Array, start_pos: jax.Array, n: int | None = None,
+                           out_len: int = 0) -> jax.Array:
+    """Read ``out_len`` CONSECUTIVE fractional positions per channel,
+    starting at ``start_pos [C]`` — the constant-delay streaming case.
+
+    Because consecutive positions share one polyphase phase per channel,
+    this is a fixed-phase 14-tap FIR: one per-channel dynamic slice of
+    ``out_len + 14`` samples plus 14 shifted multiply-adds — NO gathers
+    (TPU gathers cost ~2 orders of magnitude more than slices here).
+    Identical results to :func:`fractional_read` at integer-spaced position
+    sequences.
+    """
+    if n is not None:
+        out_len = n
+    length = buf.shape[-1]
+    posf = start_pos.astype(jnp.float32)
+    ipos = jnp.floor(posf).astype(jnp.int32)
+    phase = (
+        OVERSAMPLING - 1
+        - (jnp.floor(posf * OVERSAMPLING).astype(jnp.int32) % OVERSAMPLING)
+    )
+    base = (ipos + length - TAPS) % length
+    # per-channel contiguous slab [C, out_len + TAPS - 1] from the ring,
+    # wrapped: double the ring (cheap concat) so one dynamic slice suffices
+    dbl = jnp.concatenate([buf, buf], axis=-1)
+    span = out_len + TAPS - 1
+
+    def slice_ch(row, b):
+        return jax.lax.dynamic_slice_in_dim(row, b, span, axis=-1)
+
+    slab = jax.vmap(slice_ch)(dbl, base)  # [C, span]
+    w = jnp.asarray(_table_phase_major(buf.dtype))[phase]  # [C, 14]
+    out = jnp.zeros(slab.shape[:-1] + (out_len,), buf.dtype)
+    for k in range(TAPS):
+        out = out + w[..., k, None] * jax.lax.slice_in_dim(
+            slab, k, k + out_len, axis=-1
+        )
+    return out
 
 
 class FractionalDelayLine:
@@ -96,10 +141,14 @@ class FractionalDelayLine:
         self.writepos = 0  # host-side frame counter (monotonic mod length)
 
     def write(self, block: jax.Array) -> None:
-        """Append ``[C, B]`` samples at the write head."""
+        """Append ``[C, B]`` samples at the write head (scatter-free)."""
+        from ..buffers.ring import Ring, ring_write
+
         B = block.shape[-1]
-        start = self.writepos % self.length
-        self.buf = _ring_write(self.buf, block, start)
+        r = ring_write(
+            Ring(self.buf, jnp.asarray(self.writepos, jnp.int32)), block
+        )
+        self.buf = r.data
         self.writepos += B
 
     def read(self, delays: jax.Array) -> jax.Array:
@@ -110,9 +159,4 @@ class FractionalDelayLine:
         return fractional_read(self.buf, pos % self.length)
 
 
-@partial(jax.jit, static_argnames=())
-def _ring_write(buf: jax.Array, block: jax.Array, start) -> jax.Array:
-    L = buf.shape[-1]
-    B = block.shape[-1]
-    idx = (start + jnp.arange(B)) % L
-    return buf.at[..., idx].set(block)
+

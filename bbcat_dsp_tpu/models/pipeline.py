@@ -15,8 +15,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..buffers.ring import Ring, ring_init, ring_write
-from ..filters.fractional import ADDITIONAL_DELAY, fractional_read
-from ..filters.iir import modal_apply, modal_init, modal_params
+from ..filters.fractional import ADDITIONAL_DELAY, fractional_read, fractional_read_stream
+from ..filters.iir import (
+    modal_apply,
+    modal_init,
+    modal_params,
+    parallel_cascade_apply,
+    parallel_cascade_params,
+)
 from ..formats.device import int32_to_float, float_to_int32
 from ..formats.sample_format import SampleFormat, is_sample_integer
 from ..loudness import LoudnessMeter
@@ -43,38 +49,59 @@ class EQDelayPipeline:
         eq_coeffs = np.atleast_2d(np.asarray(eq_coeffs))
         self.block = int(block)
         self.fs = fs
-        self.params = tuple(modal_params(c, dtype) for c in eq_coeffs)
+        # the whole static EQ cascade runs as ONE batched scan when the
+        # parallel (partial-fraction) form is well-conditioned; otherwise
+        # per-stage serial modal scans
+        try:
+            self.psos = parallel_cascade_params(eq_coeffs, dtype)
+            self.params = None
+        except ValueError:
+            self.psos = None
+            self.params = tuple(modal_params(c, dtype) for c in eq_coeffs)
         L = int(np.ceil(max_delay)) + ADDITIONAL_DELAY + self.block
         # ring length aligned up for cheap modular arithmetic
         self.length = 1 << int(np.ceil(np.log2(max(L, 2))))
+        eq0 = (None if self.params is None else
+               tuple(modal_init(p, (nchannels,), dtype) for p in self.params))
         self.state = EQDelayState(
-            eq=tuple(modal_init(p, (nchannels,), dtype) for p in self.params),
+            eq=eq0,
             ring=ring_init((nchannels,), self.length, dtype),
         )
-        self._step = jax.jit(self._step_impl)
+        self._step = jax.jit(self._step_impl, static_argnames=("per_sample",))
 
-    def _step_impl(self, state: EQDelayState, x: jax.Array, delays: jax.Array):
-        y = x
-        new_eq = []
-        for p, s in zip(self.params, state.eq):
-            y, s2 = modal_apply(y, p, s)
-            new_eq.append(s2)
+    def _step_impl(self, state: EQDelayState, x: jax.Array,
+                   delays: jax.Array, per_sample: bool):
+        if self.psos is not None:
+            y, new_eq = parallel_cascade_apply(x, self.psos, state.eq)
+        else:
+            y = x
+            new_eq = []
+            for p, s in zip(self.params, state.eq):
+                y, s2 = modal_apply(y, p, s)
+                new_eq.append(s2)
+            new_eq = tuple(new_eq)
         ring = ring_write(state.ring, y)
         B = x.shape[-1]
-        # read positions: one per output sample, delay frames behind its
-        # own write position (delays may be [C] scalar-per-channel or
-        # [C, B] per-sample for doppler-style modulation)
-        wp = ring.writepos - B + jnp.arange(B)  # write pos of each sample
-        pos = (wp[None, :] - delays + self.length) % self.length
-        out = fractional_read(ring.data, pos)
-        return EQDelayState(eq=tuple(new_eq), ring=ring), out
+        if per_sample:
+            # per-sample delay modulation (doppler): general gather read
+            wp = ring.writepos - B + jnp.arange(B)
+            pos = (wp[None, :] - delays + self.length) % self.length
+            out = fractional_read(ring.data, pos)
+        else:
+            # constant per-channel delay: gather-free fixed-phase FIR
+            start = (ring.writepos - B - delays[:, 0]
+                     + 2 * self.length) % self.length
+            out = fractional_read_stream(ring.data, start, B)
+        return EQDelayState(eq=new_eq, ring=ring), out
 
     def process_block(self, x: jax.Array, delays) -> jax.Array:
-        """``x [C, B]``, ``delays`` [C] or [C, B] fractional frames."""
+        """``x [C, B]``, ``delays`` [C] (constant, fast FIR path) or
+        ``[C, B]`` (per-sample modulation, gather path)."""
         delays = jnp.asarray(delays)
-        if delays.ndim == 1:
+        per_sample = delays.ndim > 1
+        if not per_sample:
             delays = delays[:, None]
-        self.state, y = self._step(self.state, x, delays)
+        self.state, y = self._step(self.state, x, delays, per_sample)
         return y
 
 

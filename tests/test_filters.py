@@ -249,3 +249,34 @@ def test_fractional_delay_line_streaming(rng):
             np.ascontiguousarray(ring.T).reshape(-1), c, 2, 256, float(pos)
         )
         assert abs(out[c, 0] - want) < 1e-3
+
+
+def test_parallel_cascade_engine(rng):
+    """Whole-cascade parallel (partial-fraction) form: one batched scan,
+    >= 90 dB vs the serial golden; streaming state carries exactly."""
+    from bbcat_dsp_tpu.filters import cascade_apply, parallel_cascade_params
+
+    coeffs = np.stack([
+        golden.biquad_coeffs(FilterType.PEQ, 100.0 * (i + 1), FS,
+                             gain=(-1.0) ** i * 3.0)
+        for i in range(8)
+    ])
+    x = rng.standard_normal((2, 2048)).astype(np.float32)
+    ref = np.stack([golden.cascade_process(x[c], coeffs)[0] for c in range(2)])
+    y, st = cascade_apply(jnp.asarray(x), coeffs, engine="parallel")
+    assert snr_db(ref, np.asarray(y)) > 90.0
+    # streaming
+    y1, s = cascade_apply(jnp.asarray(x[:, :1024]), coeffs, engine="parallel")
+    y2, s = cascade_apply(jnp.asarray(x[:, 1024:]), coeffs, states=s,
+                          engine="parallel")
+    ystream = np.concatenate([np.asarray(y1), np.asarray(y2)], -1)
+    assert snr_db(np.asarray(y), ystream) > 100.0
+
+
+def test_parallel_cascade_rejects_repeated_poles():
+    """Double-pole filters must raise so callers fall back to modal."""
+    from bbcat_dsp_tpu.filters import parallel_cascade_params
+
+    c = np.stack([golden.biquad_coeffs(FilterType.HPF12, 80, FS)])
+    with pytest.raises(ValueError):
+        parallel_cascade_params(c)
