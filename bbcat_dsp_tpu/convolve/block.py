@@ -19,8 +19,9 @@ of that capability:
   contract defined in bbcat_dsp_tpu.golden.convolve) — driven host-side, so
   the steady-state step never pays for the fade branch.
 
-State layout: queue ``[2, P, C, F]``, previous input block ``[C, B]``
-(overlap-save window), step counter.  IR spectra ``H [2, P, C, F]``.
+State layout: queue ``[2, P, C, F]``, previous half-window spectrum
+``[2, C, F]`` (windows assemble via the shift theorem — see
+``fft.rfft_half_planes``), step counter.  IR spectra ``H [2, P, C, F]``.
 """
 
 from __future__ import annotations
