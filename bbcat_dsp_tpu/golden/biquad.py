@@ -15,12 +15,14 @@ import numpy as np
 
 
 class FilterType(enum.IntEnum):
-    """Filter taxonomy (ref: src/BiQuad.h:31-42)."""
+    """Filter taxonomy — integer values MATCH the reference enum order
+    (ref: src/BiQuad.h:31-42: FLAT, LPF6, HPF6, LPF12, HPF12, BPF, NOTCH,
+    PEQ, LSH, HSH)."""
 
     FLAT = 0
     LPF6 = 1
-    LPF12 = 2
-    HPF6 = 3
+    HPF6 = 2
+    LPF12 = 3
     HPF12 = 4
     BPF = 5
     NOTCH = 6
