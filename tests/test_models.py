@@ -90,3 +90,27 @@ def test_eq_delay_pipeline(rng):
                 np.repeat(ring, 1), 0, 1, L, float(pos)
             )
             assert abs(y[c, i] - want) < 2e-3
+
+
+def test_mixdown_pipeline(rng):
+    """Config #4: format conversion + gain-matrix mixdown + loudness."""
+    from bbcat_dsp_tpu.models import MixdownPipeline
+    from bbcat_dsp_tpu.formats.sample_format import SampleFormat
+    from bbcat_dsp_tpu.formats.host import float_to_int32
+
+    C, B = 16, 4800
+    gains = np.zeros((2, C), np.float32)
+    gains[0, :8] = 0.125
+    gains[1, 8:] = 0.125
+    pipe = MixdownPipeline(gains, fs=FS, in_format=SampleFormat.INT32,
+                           out_format=SampleFormat.FLOAT)
+    xf = (rng.standard_normal((C, B * 10)) * 0.1).astype(np.float32)
+    xi = float_to_int32(xf)  # int32 MSB-aligned input
+    outs = [np.asarray(pipe.process_block(jnp.asarray(xi[:, i*B:(i+1)*B])))
+            for i in range(10)]
+    y = np.concatenate(outs, -1)
+    ref = gains.astype(np.float64) @ xf.astype(np.float64)
+    assert snr_db(ref, y) > 90.0
+    L = pipe.integrated_loudness()
+    ref_L = golden.integrated_loudness(ref, FS)
+    assert abs(L - ref_L) < 0.1
