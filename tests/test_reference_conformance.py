@@ -220,3 +220,60 @@ def test_allpass_matches_compiled_reference(ref_dsp, rng):
         np.sum(y_ref.T.astype(np.float64)**2)
         / np.sum((y_ref.T - y_g.astype(np.float32))**2 + 1e-30)
     ) > 120.0
+
+
+def test_fuzz_transfers_vs_compiled_reference(ref_lib, rng):
+    """Randomised fuzz: 200 random rectangle transfers, bit-exact."""
+    for _ in range(200):
+        sfmt, dfmt = rng.choice(FORMATS, 2)
+        sbe, dbe = bool(rng.integers(2)), bool(rng.integers(2))
+        sch = int(rng.integers(1, 6))
+        dch = int(rng.integers(1, 6))
+        s0 = int(rng.integers(0, sch))
+        d0 = int(rng.integers(0, dch))
+        nch = int(rng.integers(1, 8))
+        nfr = int(rng.integers(1, 40))
+        raw = np.frombuffer(
+            _random_packed(rng, sfmt, sbe, max(nfr * sch, 8)), np.uint8
+        ).copy()
+        ours = np.zeros(nfr * dch * get_bytes_per_sample(dfmt), np.uint8)
+        ref = ours.copy()
+        ok = host.transfer_samples(
+            raw, sfmt, sbe, s0, sch, ours, dfmt, dbe, d0, dch, nch, nfr
+        )
+        ref_lib.ref_transfer(
+            raw.ctypes.data, int(sfmt), int(sbe), s0, sch,
+            ref.ctypes.data, int(dfmt), int(dbe), d0, dch, nch, nfr,
+        )
+        assert ok
+        np.testing.assert_array_equal(
+            ours, ref,
+            err_msg=f"{sfmt} be={sbe} ch{s0}/{sch} -> {dfmt} be={dbe} "
+                    f"ch{d0}/{dch} n={nch}x{nfr}",
+        )
+
+
+def test_fuzz_biquads_vs_compiled_reference(ref_dsp, rng):
+    """Randomised fuzz: 50 random filter designs + processing runs."""
+    from bbcat_dsp_tpu import golden
+    from bbcat_dsp_tpu.golden.biquad import FilterType
+
+    out = np.zeros(5, np.float64)
+    for _ in range(50):
+        t = FilterType(int(rng.integers(0, 10)))
+        freq = float(rng.uniform(20.0, 20000.0))
+        gain = float(rng.uniform(-12.0, 12.0))
+        bw = float(rng.uniform(0.1, 3.0))
+        ref_dsp.ref_biquad_coeffs(int(t), freq, 48000.0, gain, bw,
+                                  out.ctypes.data)
+        c = golden.biquad_coeffs(t, freq, 48000.0, gain, bw)
+        np.testing.assert_allclose(c, out, rtol=0, atol=0,
+                                   err_msg=f"{t} f={freq} g={gain} bw={bw}")
+        x = rng.standard_normal(256).astype(np.float32)
+        y_ref = np.zeros_like(x)
+        ref_dsp.ref_biquad_process(c.ctypes.data, x.ctypes.data,
+                                   y_ref.ctypes.data, x.size)
+        y_g, _ = golden.biquad_process(x, c)
+        err = np.abs(y_ref - y_g.astype(np.float32)).max()
+        scale = max(np.abs(y_ref).max(), 1e-9)
+        assert err / scale < 1e-5, f"{t} f={freq} g={gain} bw={bw}"
