@@ -177,6 +177,20 @@ def _head_step_single(xcarry, prev, H_head, x):
     return y, xext[:, -P:], prev_xt
 
 
+@jax.jit
+def _head_step_single_crossfade(xcarry, prev, H_old, H_new, x):
+    """Small-block head step with a click-free filter crossfade."""
+    B = x.shape[-1]
+    Xnew, prev_xt = _head_spectra(prev, x, B, 1)
+    xext = jnp.concatenate([xcarry, Xnew], axis=1)
+    y_old = irfft_tail_planes(_head_mac(xext, H_old, 1), 2 * B)[0]
+    y_new = irfft_tail_planes(_head_mac(xext, H_new, 1), 2 * B)[0]
+    ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
+    y = (1 - ramp) * y_old + ramp * y_new
+    P = H_old.shape[1]
+    return y, xext[:, -P:], prev_xt
+
+
 @partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
 def nonuniform_render(state: NonUniformState, H_head, H_tail, x, block: int):
     """Render ``[C, T]`` (T multiple of the super-block) via on-device scan
@@ -228,6 +242,7 @@ class NonUniformConvolver:
             pending=jnp.zeros((2, nchannels, self.super_block), dtype),
         )
         self._pending_swap = None
+        self._tail_swap = None  # small-block mode: tail crossfade pending
         self._sb_buf = jnp.zeros((nchannels, self.super_block), dtype)
         self._sb_fill = 0
 
@@ -282,9 +297,20 @@ class NonUniformConvolver:
         B = self.block
         assert x.shape[-1] == B
         st = self.state
-        y_head, xcarry, prev = _head_step_single(
-            st.xcarry, st.prev, self.H_head, x
-        )
+        if self._pending_swap is not None:
+            # head crossfades NOW (one small block); the tail crossfades at
+            # its next firing — both transitions continuous
+            Hh, Ht = self._pending_swap
+            y_head, xcarry, prev = _head_step_single_crossfade(
+                st.xcarry, st.prev, self.H_head, Hh, x
+            )
+            self.H_head = Hh
+            self._tail_swap = Ht
+            self._pending_swap = None
+        else:
+            y_head, xcarry, prev = _head_step_single(
+                st.xcarry, st.prev, self.H_head, x
+            )
         off = self._sb_fill * B
         y = y_head + jax.lax.dynamic_slice_in_dim(
             st.pending[0], off, B, axis=-1
@@ -294,9 +320,16 @@ class NonUniformConvolver:
         )
         self._sb_fill += 1
         if self._sb_fill == self.ratio:
-            tail, out_tail = convolver_step(
-                st.tail, self.H_tail, self._sb_buf
-            )
+            if self._tail_swap is not None:
+                tail, out_tail = convolver_step_crossfade(
+                    st.tail, self.H_tail, self._tail_swap, self._sb_buf
+                )
+                self.H_tail = self._tail_swap
+                self._tail_swap = None
+            else:
+                tail, out_tail = convolver_step(
+                    st.tail, self.H_tail, self._sb_buf
+                )
             pending = jnp.stack([st.pending[1], out_tail])
             self._sb_fill = 0
         else:

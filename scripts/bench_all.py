@@ -37,8 +37,14 @@ def _slope_time(run, n1=2, n2=10, reps=3):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1, t2 = chain(n1), chain(n2)
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    # relay interference can make the long chain "faster" than the short
+    # one; retry a few times and reject nonsensical slopes
+    for _ in range(4):
+        t1, t2 = chain(n1), chain(n2)
+        per = (t2 - t1) / (n2 - n1)
+        if per > 0.2 * t1 / n1:  # slope consistent with absolute times
+            return per
+    return max(per, t2 / n2)  # fall back to the (overhead-inclusive) mean
 
 
 def bench_config1():

@@ -96,3 +96,28 @@ def test_small_block_streaming_matches_batched(rng):
     outs = [np.asarray(b.process_small_block(jnp.asarray(x[:, i*B:(i+1)*B])))
             for i in range(T // B)]
     np.testing.assert_allclose(np.concatenate(outs, -1), y_batched, atol=2e-5)
+
+
+def test_small_block_swap_click_free(rng):
+    """IR exchange while streaming per-small-block: continuous transition,
+    steady state equals the new IR."""
+    B, ratio = 32, 4
+    SB = B * ratio
+    T = SB * 8
+    N = 3 * SB
+    h1 = rng.standard_normal(N) * 0.3
+    h2 = rng.standard_normal(N) * 0.3
+    x = rng.standard_normal((1, T)).astype(np.float32)
+    conv = NonUniformConvolver(h1, block=B, ratio=ratio)
+    outs = []
+    for i in range(T // B):
+        if i == 9:
+            conv.set_filter(h2)
+        outs.append(np.asarray(conv.process_small_block(
+            jnp.asarray(x[:, i*B:(i+1)*B]))))
+    y = np.concatenate(outs, -1)[0]
+    ref = golden.direct_convolve(x[0], h2)[:T]
+    settle = 6 * SB
+    assert snr_db(ref[settle:], y[settle:]) > 90.0
+    d = np.abs(np.diff(y))
+    assert d.max() < 20 * np.median(np.abs(y) + 1e-9)
