@@ -191,13 +191,77 @@ def _head_step_single_crossfade(xcarry, prev, H_old, H_new, x):
     return y, xext[:, -P:], prev_xt
 
 
-@partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
-def nonuniform_render(state: NonUniformState, H_head, H_tail, x, block: int):
+def _tail_step_static(tail: ConvolverState, H_tail, x, slot: int):
+    """Uniform tail step with a STATIC queue slot: the circular-buffer
+    rotation becomes compile-time slices (TPU gathers materialise the whole
+    rotated queue — hundreds of MB at pod-scale channel counts)."""
+    B2 = x.shape[-1]
+    from .fft import half_window_signs, irfft_tail_planes, rfft_half_planes
+
+    xt = rfft_half_planes(x, 2 * B2)
+    s = jnp.asarray(half_window_signs(2 * B2))
+    X = tail.prev + s * xt
+    P = tail.queue.shape[1]
+    queue = tail.queue.at[:, slot].set(X.astype(tail.queue.dtype))
+    acc_r = jnp.zeros_like(X[0])
+    acc_i = jnp.zeros_like(X[0])
+    for p in range(P):
+        q = queue[:, (slot - p) % P]
+        h = H_tail[:, p]
+        acc_r = acc_r + (q[0] * h[0] - q[1] * h[1])
+        acc_i = acc_i + (q[0] * h[1] + q[1] * h[0])
+    y = irfft_tail_planes(jnp.stack([acc_r, acc_i]), 2 * B2).astype(x.dtype)
+    return ConvolverState(queue, xt, tail.step + 1), y
+
+
+def _super_step_static_tail(state: NonUniformState, H_head, H_tail, x,
+                            block: int, slot: int):
+    """:func:`_super_step` with a compile-time tail slot."""
+    ratio = x.shape[-1] // block
+    y_head, xcarry, prev = _head_step(
+        state.xcarry, state.prev, H_head, x, block, ratio
+    )
+    y = y_head + state.pending[0]
+    tail, out_tail = _tail_step_static(state.tail, H_tail, x, slot)
+    pending = jnp.stack([state.pending[1], out_tail])
+    return NonUniformState(xcarry, prev, tail, pending), y
+
+
+@partial(jax.jit, static_argnames=("block", "tail_slot0"), donate_argnums=(0,))
+def nonuniform_render(state: NonUniformState, H_head, H_tail, x, block: int,
+                      tail_slot0: int | None = None):
     """Render ``[C, T]`` (T multiple of the super-block) via on-device scan
-    over SUPER-blocks (the per-small-block scan no longer exists)."""
+    over SUPER-blocks.
+
+    With ``tail_slot0`` (the tail queue cursor mod P at entry, host-known)
+    and ``nsuper`` a multiple of the tail partition count, the scan body
+    unrolls P super-steps whose queue slots are compile-time constants —
+    the tail's circular rotation costs ZERO gathers.  Otherwise falls back
+    to the dynamic-slot step.
+    """
     C, T = x.shape
     B2 = state.pending.shape[-1]
     nsuper = T // B2
+    Pt = state.tail.queue.shape[1]
+
+    if tail_slot0 is not None and nsuper % Pt == 0:
+        groups = jnp.moveaxis(
+            x.reshape(C, nsuper // Pt, Pt * B2), 1, 0
+        )
+
+        def gbody(st, xg):
+            ys = []
+            for j in range(Pt):
+                xb = jax.lax.slice_in_dim(xg, j * B2, (j + 1) * B2, axis=-1)
+                st, y = _super_step_static_tail(
+                    st, H_head, H_tail, xb, block, (tail_slot0 + j) % Pt
+                )
+                ys.append(y)
+            return st, jnp.concatenate(ys, axis=-1)
+
+        state, ys = jax.lax.scan(gbody, state, groups)
+        return state, jnp.moveaxis(ys, 0, 1).reshape(C, T)
+
     blocks = jnp.moveaxis(x.reshape(C, nsuper, B2), 1, 0)
 
     def body(st, xb):
@@ -245,6 +309,7 @@ class NonUniformConvolver:
         self._tail_swap = None  # small-block mode: tail crossfade pending
         self._sb_buf = jnp.zeros((nchannels, self.super_block), dtype)
         self._sb_fill = 0
+        self._tail_steps = 0  # host mirror of tail.step (static-slot render)
 
     def set_filter(self, ir) -> None:
         """Click-free IR exchange starting at the next super-block."""
@@ -280,9 +345,16 @@ class NonUniformConvolver:
 
     def process(self, x: jax.Array) -> jax.Array:
         """Whole-signal on-device render (T multiple of the super-block)."""
-        self.state, y = nonuniform_render(
-            self.state, self.H_head, self.H_tail, x, self.block
+        nsuper = x.shape[-1] // self.super_block
+        slot0 = (
+            self._tail_steps % self.tail_parts
+            if nsuper % self.tail_parts == 0 else None
         )
+        self.state, y = nonuniform_render(
+            self.state, self.H_head, self.H_tail, x, self.block,
+            tail_slot0=slot0,
+        )
+        self._tail_steps += nsuper
         return y
 
     def process_small_block(self, x: jax.Array) -> jax.Array:
@@ -340,6 +412,7 @@ class NonUniformConvolver:
     def reset(self) -> None:
         self._sb_buf = jnp.zeros_like(self._sb_buf)
         self._sb_fill = 0
+        self._tail_steps = 0
         s = self.state
         self.state = NonUniformState(
             xcarry=jnp.zeros_like(s.xcarry),

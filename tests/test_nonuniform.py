@@ -121,3 +121,27 @@ def test_small_block_swap_click_free(rng):
     assert snr_db(ref[settle:], y[settle:]) > 90.0
     d = np.abs(np.diff(y))
     assert d.max() < 20 * np.median(np.abs(y) + 1e-9)
+
+
+def test_static_slot_render_matches_dynamic(rng):
+    """The zero-gather static-slot render == the dynamic-slot fallback."""
+    from bbcat_dsp_tpu.convolve.nonuniform import nonuniform_render
+
+    B, ratio = 32, 4
+    SB = B * ratio
+    N = 3 * SB
+    ir = rng.standard_normal((2, N)) * 0.2
+    a = NonUniformConvolver(ir, block=B, ratio=ratio)
+    Pt = a.tail_parts
+    T = SB * Pt * 2  # multiple of tail partition count -> fast path
+    x = rng.standard_normal((2, T)).astype(np.float32)
+    y_fast = np.asarray(a.process(jnp.asarray(x)))
+    # second call continues with correct host-tracked slot
+    y_fast2 = np.asarray(a.process(jnp.asarray(x)))
+
+    b = NonUniformConvolver(ir, block=B, ratio=ratio)
+    s = b.state
+    s, y1 = nonuniform_render(s, b.H_head, b.H_tail, jnp.asarray(x), B)
+    s, y2 = nonuniform_render(s, b.H_head, b.H_tail, jnp.asarray(x), B)
+    np.testing.assert_allclose(y_fast, np.asarray(y1), atol=1e-5)
+    np.testing.assert_allclose(y_fast2, np.asarray(y2), atol=1e-5)
