@@ -37,7 +37,8 @@ def main() -> None:
 
     fs = 48000.0
     C, N, B = 64, 32768, 512
-    nblocks = 64  # per timed render call (multiple of ratio)
+    nblocks = 48  # per render: nsuper = 6 = tail partition count -> the
+    # static-slot (zero-gather) tail path engages
     T = B * nblocks
 
     rng = np.random.default_rng(0)

@@ -192,7 +192,7 @@ def bench_config5():
     rng = np.random.default_rng(0)
     C, N, B, ratio = 1024, 65536, 512, 8
     SB = B * ratio
-    T = SB * 2
+    T = SB * 12  # nsuper = tail partition count -> static-slot tail path
     irs = (rng.standard_normal((C, N)) * np.exp(-np.arange(N) / 8000.0)
            ).astype(np.float32)
     conv = NonUniformConvolver(irs, block=B, ratio=ratio)
@@ -201,11 +201,11 @@ def bench_config5():
 
     def run():
         box["state"], y = nonuniform_render(
-            box["state"], conv.H_head, conv.H_tail, x, B
+            box["state"], conv.H_head, conv.H_tail, x, B, tail_slot0=0
         )
         return y
 
-    dt = _slope_time(run, n1=1, n2=4)
+    dt = _slope_time(run, n1=1, n2=3)
     return {
         "config": "5: 1024ch x 64k-tap (single-chip capacity point)",
         "rtf": T / FS / dt,
