@@ -39,6 +39,7 @@ from .fractional import (
     fractional_read,
 )
 from .manager import FilterManager
+from .resample import Resampler, resample
 
 __all__ = [
     "FilterType",
@@ -68,4 +69,6 @@ __all__ = [
     "additional_delay_required",
     "fractional_read",
     "FilterManager",
+    "Resampler",
+    "resample",
 ]
