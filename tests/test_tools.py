@@ -77,3 +77,22 @@ def test_convolve_cli(tmp_path, rng, capsys):
     assert y.shape[-1] == x.shape[-1]
     # identity IR -> output ~ input (24-bit quantisation)
     np.testing.assert_allclose(y[0], x[0], atol=1e-3)
+
+
+def test_convolve_cli_sofa(tmp_path, rng):
+    """Binaural render branch: input.wav + hrtf.sofa -> stereo out."""
+    from bbcat_dsp_tpu.sofa import write_sofa
+
+    x = (rng.standard_normal((4, 2048)) * 0.1).astype(np.float32)
+    ir = rng.standard_normal((8, 2, 64)) * np.exp(-np.arange(64) / 20.0)
+    az = np.linspace(0, 315, 8)
+    pos = np.stack([az, np.zeros(8), np.ones(8)], -1)
+    pi = str(tmp_path / "in.wav")
+    ps = str(tmp_path / "h.sofa")
+    po = str(tmp_path / "out.wav")
+    write_wav(pi, x, 48000.0, SampleFormat.FLOAT)
+    write_sofa(ps, ir, 48000.0, pos)
+    assert convolve_main([pi, ps, po]) == 0
+    y, fs = read_wav(po)
+    assert y.shape[0] == 2 and y.shape[1] == x.shape[1] and fs == 48000.0
+    assert np.abs(y).max() > 0
