@@ -329,3 +329,40 @@ def test_resampler_streaming_matches_oneshot(rng):
     diff = np.abs(y_stream - y_ref)
     assert np.mean(diff > 1e-4) < 0.02
     assert snr_db(y_ref, y_stream) > 30.0
+
+
+def test_filter_manager(rng):
+    """Named configs assigned to channel groups; JSON loading; unassigned
+    channels pass through (ref: README:53-54 FilterManager spec)."""
+    from bbcat_dsp_tpu.filters import FilterManager
+
+    fm = FilterManager(fs=FS)
+    fm.define("voice", [(FilterType.HPF12, 120.0), (FilterType.PEQ, 3000.0, 4.0)])
+    fm.define_from_json(
+        '{"music": {"stages": [{"type": "LSH", "freq": 200, "gain": 3}]}}'
+    )
+    assert fm.names() == ["music", "voice"]
+    fm.assign_range([0, 1], "voice")
+    fm.assign(2, "music")
+    x = rng.standard_normal((4, 512)).astype(np.float32)
+    y = np.asarray(fm.process(jnp.asarray(x)))
+    voice_coeffs = np.stack([
+        golden.biquad_coeffs(FilterType.HPF12, 120.0, FS),
+        golden.biquad_coeffs(FilterType.PEQ, 3000.0, FS, gain=4.0),
+    ])
+    music_coeffs = np.stack([
+        golden.biquad_coeffs(FilterType.LSH, 200.0, FS, gain=3.0)])
+    for c in (0, 1):
+        ref, _ = golden.cascade_process(x[c], voice_coeffs)
+        assert snr_db(ref, y[c]) > 90.0
+    ref, _ = golden.cascade_process(x[2], music_coeffs)
+    assert snr_db(ref, y[2]) > 90.0
+    np.testing.assert_array_equal(y[3], x[3])  # unassigned passthrough
+    # response query
+    h = fm.response("voice", np.array([50.0]))
+    assert abs(h[0]) < 0.3  # HPF kills 50 Hz
+    # streaming continuity across process calls
+    y2 = np.asarray(fm.process(jnp.asarray(x)))
+    ref2, _ = golden.cascade_process(
+        np.concatenate([x[0], x[0]]), voice_coeffs)
+    assert snr_db(ref2[512:], y2[0]) > 90.0
