@@ -151,13 +151,58 @@ def convolver_step_crossfade(
     return ConvolverState(queue, xt, state.step + 1), y
 
 
-@partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
-def convolver_render(state: ConvolverState, H: jax.Array, x: jax.Array, block: int):
+def _step_static_slot(state: ConvolverState, H: jax.Array, x: jax.Array,
+                      slot: int):
+    """:func:`convolver_step` with a compile-time queue slot — the circular
+    rotation becomes static slices (no gather)."""
+    B = x.shape[-1]
+    P = state.queue.shape[1]
+    xt = rfft_half_planes(x, 2 * B)
+    s = jnp.asarray(half_window_signs(2 * B))
+    X = state.prev + s * xt
+    queue = state.queue.at[:, slot].set(X.astype(state.queue.dtype))
+    acc_r = jnp.zeros_like(X[0])
+    acc_i = jnp.zeros_like(X[0])
+    for p in range(P):
+        q = queue[:, (slot - p) % P]
+        h = H[:, p]
+        acc_r = acc_r + (q[0] * h[0] - q[1] * h[1])
+        acc_i = acc_i + (q[0] * h[1] + q[1] * h[0])
+    y = irfft_tail_planes(jnp.stack([acc_r, acc_i]), 2 * B).astype(x.dtype)
+    return ConvolverState(queue, xt, state.step + 1), y
+
+
+@partial(jax.jit, static_argnames=("block", "slot0"), donate_argnums=(0,))
+def convolver_render(state: ConvolverState, H: jax.Array, x: jax.Array,
+                     block: int, slot0: int | None = None):
     """Render a long ``[C, T]`` signal through the convolver with an
     on-device ``lax.scan`` over blocks (no host round-trips — the bench
-    path).  ``T`` must be a multiple of ``block``."""
+    path).  ``T`` must be a multiple of ``block``.
+
+    With ``slot0`` (the queue cursor mod P at entry, host-known) and the
+    block count a multiple of P, the scan body unrolls P steps with
+    compile-time queue slots — zero gathers (see the non-uniform engine's
+    identical trick)."""
     C, T = x.shape
     nblocks = T // block
+    P = state.queue.shape[1]
+
+    if slot0 is not None and nblocks % P == 0:
+        groups = jnp.moveaxis(x.reshape(C, nblocks // P, P * block), 1, 0)
+
+        def gbody(st, xg):
+            ys = []
+            for j in range(P):
+                xb = jax.lax.slice_in_dim(
+                    xg, j * block, (j + 1) * block, axis=-1
+                )
+                st, y = _step_static_slot(st, H, xb, (slot0 + j) % P)
+                ys.append(y)
+            return st, jnp.concatenate(ys, axis=-1)
+
+        state, ys = jax.lax.scan(gbody, state, groups)
+        return state, jnp.moveaxis(ys, 0, 1).reshape(C, T)
+
     blocks = jnp.moveaxis(x.reshape(C, nblocks, block), 1, 0)
 
     def body(st, xb):
@@ -190,6 +235,7 @@ class BlockConvolver:
         self.nchannels = nchannels
         self.state = convolver_init(nchannels, self.block, self.nparts, dtype)
         self._pending_H = None
+        self._steps = 0  # host mirror of state.step (static-slot render)
 
     def set_filter(self, ir, channel: int | None = None) -> None:
         """Schedule a click-free IR exchange at the next block.
@@ -210,6 +256,7 @@ class BlockConvolver:
 
     def process_block(self, x: jax.Array) -> jax.Array:
         """``x [C, B]`` (or ``[B]`` for mono) -> convolved block."""
+        self._steps += 1
         squeeze = x.ndim == 1
         if squeeze:
             x = x[None]
@@ -228,10 +275,17 @@ class BlockConvolver:
         squeeze = x.ndim == 1
         if squeeze:
             x = x[None]
-        self.state, y = convolver_render(self.state, self.H, x, self.block)
+        nblocks = x.shape[-1] // self.block
+        slot0 = (self._steps % self.nparts
+                 if nblocks % self.nparts == 0 else None)
+        self.state, y = convolver_render(
+            self.state, self.H, x, self.block, slot0=slot0
+        )
+        self._steps += nblocks
         return y[0] if squeeze else y
 
     def reset(self) -> None:
+        self._steps = 0
         self.state = convolver_init(
             self.nchannels, self.block, self.nparts, self.state.prev.dtype
         )

@@ -194,3 +194,25 @@ def test_dftmm_backend_matches_xla(rng):
     yb = np.asarray(irfft_planes(jnp.asarray(a), 1024, backend="dftmm"))
     assert snr_db(ya, yb) > 110.0
     np.testing.assert_allclose(ya, x, atol=1e-4)
+
+
+def test_uniform_static_slot_render_matches_dynamic(rng):
+    """Zero-gather uniform render == dynamic-slot render, across chained
+    calls and mixed with per-block streaming."""
+    from bbcat_dsp_tpu.convolve import convolver_init
+    from bbcat_dsp_tpu.convolve.block import convolver_render
+
+    B, N = 64, 512
+    ir = rng.standard_normal(N) * 0.3
+    conv = BlockConvolver(ir, block=B)
+    P = conv.nparts
+    T = B * P * 2
+    x = rng.standard_normal((1, T)).astype(np.float32)
+    y1 = np.asarray(conv.process(jnp.asarray(x)))       # fast path
+    y2 = np.asarray(conv.process(jnp.asarray(x)))       # fast path, slot carried
+
+    st = convolver_init(1, B, P)
+    st, r1 = convolver_render(st, conv.H, jnp.asarray(x), B)
+    st, r2 = convolver_render(st, conv.H, jnp.asarray(x), B)
+    np.testing.assert_allclose(y1, np.asarray(r1), atol=1e-5)
+    np.testing.assert_allclose(y2, np.asarray(r2), atol=1e-5)
