@@ -50,18 +50,16 @@ def _slope_time(run, n1=2, n2=10, reps=3):
 def bench_config1():
     """Mono 512-block 4096-tap uniform convolver."""
     import jax.numpy as jnp
-    from bbcat_dsp_tpu.convolve import BlockConvolver, convolver_render
+    from bbcat_dsp_tpu.convolve import BlockConvolver
 
     rng = np.random.default_rng(0)
     B, N, T = 512, 4096, 512 * 64
     ir = rng.standard_normal(N) * np.exp(-np.arange(N) / 500.0)
     conv = BlockConvolver(ir, block=B)
     x = jnp.asarray(rng.standard_normal((1, T)).astype(np.float32))
-    box = {"state": conv.state}
 
     def run():
-        box["state"], y = convolver_render(box["state"], conv.H, x, B)
-        return y
+        return conv.process(x)  # engages the static-slot zero-gather path
 
     dt = _slope_time(run)
     return {"config": "1: mono 512-block 4096-tap", "rtf": T / FS / dt}
