@@ -216,3 +216,35 @@ def test_multilayer_grows(rng):
     ml.write_layer(1, jnp.asarray(b))
     got = np.asarray(ml.read(64))
     np.testing.assert_allclose(got, a + b, atol=1e-6)
+
+
+def test_multilayer_aggregates_convolvers_at_different_block_sizes(rng):
+    """The reference's motivating MultilayerBuffer scenario
+    (ref: src/MultilayerBuffer.h:22-26): renderers with different partition
+    sizes (here two convolvers at block 32 and 128) mix into one stream;
+    the result equals the sum of the individual convolutions."""
+    from bbcat_dsp_tpu.convolve import BlockConvolver
+    from bbcat_dsp_tpu import golden
+    from conftest import snr_db
+
+    T = 512
+    x = rng.standard_normal(T).astype(np.float32)
+    ir_a = rng.standard_normal(96) * 0.3   # fast renderer, block 32
+    ir_b = rng.standard_normal(384) * 0.2  # slow renderer, block 128
+    conv_a = BlockConvolver(ir_a, block=32)
+    conv_b = BlockConvolver(ir_b, block=128)
+    ml = MultilayerBuffer(2, 1, capacity=1024)
+
+    # producers run at their own block rates
+    for i in range(T // 32):
+        ya = conv_a.process_block(jnp.asarray(x[None, i*32:(i+1)*32]))
+        ml.write_layer(0, ya)
+    for i in range(T // 128):
+        yb = conv_b.process_block(jnp.asarray(x[None, i*128:(i+1)*128]))
+        ml.write_layer(1, yb)
+    assert ml.readable() == T
+    mixed = np.asarray(ml.read(T))[0]
+
+    ref = (golden.direct_convolve(x, ir_a)[:T]
+           + golden.direct_convolve(x, ir_b)[:T])
+    assert snr_db(ref, mixed) > 90.0
