@@ -311,18 +311,36 @@ class NonUniformConvolver:
         self._sb_fill = 0
         self._tail_steps = 0  # host mirror of tail.step (static-slot render)
 
-    def set_filter(self, ir) -> None:
-        """Click-free IR exchange starting at the next super-block."""
-        ir2 = np.atleast_2d(np.asarray(ir))
-        if ir2.shape[0] == 1 and self.nchannels > 1:
-            ir2 = np.broadcast_to(ir2, (self.nchannels, ir2.shape[1]))
-        head, tail = _split_ir(ir2, self.block, self.ratio)
-        if tail is None:
-            tail = np.zeros((self.nchannels, 1))
-        self._pending_swap = (
-            partition_ir(head, self.block, self.head_parts),
-            partition_ir(tail, self.super_block, self.tail_parts),
-        )
+    def set_filter(self, ir, channel: int | None = None) -> None:
+        """Click-free IR exchange starting at the next (super-)block.
+
+        ``channel=None`` replaces all channels; otherwise one channel's IR
+        (parity with :class:`BlockConvolver`; the reference Convolver
+        assigns IRs per channel, ref: README:43-44).
+        """
+        if channel is None:
+            ir2 = np.atleast_2d(np.asarray(ir))
+            if ir2.shape[0] == 1 and self.nchannels > 1:
+                ir2 = np.broadcast_to(ir2, (self.nchannels, ir2.shape[1]))
+            head, tail = _split_ir(ir2, self.block, self.ratio)
+            if tail is None:
+                tail = np.zeros((self.nchannels, 1))
+            self._pending_swap = (
+                partition_ir(head, self.block, self.head_parts),
+                partition_ir(tail, self.super_block, self.tail_parts),
+            )
+        else:
+            head, tail = _split_ir(np.asarray(ir), self.block, self.ratio)
+            if tail is None:
+                tail = np.zeros((1, 1))
+            Hh_one = partition_ir(head, self.block, self.head_parts)
+            Ht_one = partition_ir(tail, self.super_block, self.tail_parts)
+            bh, bt = (self._pending_swap if self._pending_swap is not None
+                      else (self.H_head, self.H_tail))
+            self._pending_swap = (
+                bh.at[:, :, channel, :].set(Hh_one[:, :, 0, :]),
+                bt.at[:, :, channel, :].set(Ht_one[:, :, 0, :]),
+            )
 
     def process_block(self, x: jax.Array) -> jax.Array:
         """``x [C, ratio*block]`` -> convolved super-block."""

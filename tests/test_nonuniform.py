@@ -145,3 +145,26 @@ def test_static_slot_render_matches_dynamic(rng):
     s, y2 = nonuniform_render(s, b.H_head, b.H_tail, jnp.asarray(x), B)
     np.testing.assert_allclose(y_fast, np.asarray(y1), atol=1e-5)
     np.testing.assert_allclose(y_fast2, np.asarray(y2), atol=1e-5)
+
+
+def test_per_channel_swap(rng):
+    B, ratio = 32, 4
+    SB = B * ratio
+    T = SB * 8
+    N = 3 * SB
+    h = rng.standard_normal((2, N)) * 0.3
+    h1 = rng.standard_normal(N) * 0.3
+    x = rng.standard_normal((2, T)).astype(np.float32)
+    conv = NonUniformConvolver(h, block=B, ratio=ratio)
+    outs = []
+    for i in range(8):
+        if i == 3:
+            conv.set_filter(h1, channel=1)  # only channel 1 swaps
+        outs.append(np.asarray(conv.process_block(
+            jnp.asarray(x[:, i*SB:(i+1)*SB]))))
+    y = np.concatenate(outs, -1)
+    settle = 6 * SB
+    ref0 = golden.direct_convolve(x[0], h[0])[:T]
+    ref1 = golden.direct_convolve(x[1], h1)[:T]
+    assert snr_db(ref0[settle:], y[0, settle:]) > 90.0
+    assert snr_db(ref1[settle:], y[1, settle:]) > 90.0
