@@ -20,11 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from .fft import irfft_tail_planes
 from .block import ConvolverState, convolver_init, _push
 
 __all__ = [
     "partition_ir_matrix",
+    "matrix_render",
     "matrix_step",
     "matrix_step_crossfade",
     "MatrixConvolver",
@@ -82,6 +85,21 @@ def matrix_step_crossfade(
     return ConvolverState(queue, xt, state.step + 1), y
 
 
+@partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
+def matrix_render(state: ConvolverState, H: jax.Array, x: jax.Array,
+                  block: int):
+    """Render ``[C_in, T]`` -> ``[C_out, T]`` via an on-device block scan."""
+    Ci, T = x.shape
+    nblocks = T // block
+    blocks = jnp.moveaxis(x.reshape(Ci, nblocks, block), 1, 0)
+
+    def body(st, xb):
+        return matrix_step(st, H, xb)
+
+    state, ys = jax.lax.scan(body, state, blocks)
+    return state, jnp.moveaxis(ys, 0, 1).reshape(-1, T)
+
+
 class MatrixConvolver:
     """Streaming C_in -> C_out convolver with click-free IR-matrix swap
     (BASELINE.json config #3)."""
@@ -95,10 +113,20 @@ class MatrixConvolver:
         self.state = convolver_init(self.c_in, self.block, self.nparts, dtype)
         self._pending_H = None
 
-    def set_filter_matrix(self, ir_matrix) -> None:
-        self._pending_H = partition_ir_matrix(
-            np.asarray(ir_matrix), self.block, self.nparts
-        )
+    def set_filter_matrix(self, ir_matrix, in_channel: int | None = None) -> None:
+        """Schedule a click-free IR-matrix exchange; ``in_channel`` limits
+        the swap to one input channel's ``[C_out, N]`` IRs (per-channel IR
+        assignment, ref: README:43-44)."""
+        if in_channel is None:
+            self._pending_H = partition_ir_matrix(
+                np.asarray(ir_matrix), self.block, self.nparts
+            )
+        else:
+            one = partition_ir_matrix(
+                np.asarray(ir_matrix)[None], self.block, self.nparts
+            )
+            base = self._pending_H if self._pending_H is not None else self.H
+            self._pending_H = base.at[:, :, in_channel].set(one[:, :, 0])
 
     def process_block(self, x: jax.Array) -> jax.Array:
         if self._pending_H is not None:
@@ -109,6 +137,11 @@ class MatrixConvolver:
             self._pending_H = None
         else:
             self.state, y = matrix_step(self.state, self.H, x)
+        return y
+
+    def process(self, x: jax.Array) -> jax.Array:
+        """Whole-signal render (T multiple of block) on device."""
+        self.state, y = matrix_render(self.state, self.H, x, self.block)
         return y
 
     def reset(self) -> None:

@@ -216,3 +216,33 @@ def test_uniform_static_slot_render_matches_dynamic(rng):
     st, r2 = convolver_render(st, conv.H, jnp.asarray(x), B)
     np.testing.assert_allclose(y1, np.asarray(r1), atol=1e-5)
     np.testing.assert_allclose(y2, np.asarray(r2), atol=1e-5)
+
+
+def test_matrix_render_and_per_input_swap(rng):
+    ci, co, B, N, T = 4, 2, 64, 128, 64 * 8
+    irm = rng.standard_normal((ci, co, N)) * 0.4
+    x = rng.standard_normal((ci, T)).astype(np.float32)
+    a = MatrixConvolver(irm, block=B)
+    y_render = np.asarray(a.process(jnp.asarray(x)))
+    b = MatrixConvolver(irm, block=B)
+    outs = [np.asarray(b.process_block(jnp.asarray(x[:, i*B:(i+1)*B])))
+            for i in range(T // B)]
+    np.testing.assert_allclose(np.concatenate(outs, -1), y_render, atol=1e-5)
+
+    # per-input swap: only input 2's contribution changes
+    new2 = rng.standard_normal((co, N)) * 0.4
+    c = MatrixConvolver(irm, block=B)
+    outs = []
+    for i in range(T // B):
+        if i == 2:
+            c.set_filter_matrix(new2, in_channel=2)
+        outs.append(np.asarray(c.process_block(jnp.asarray(x[:, i*B:(i+1)*B]))))
+    y = np.concatenate(outs, -1)
+    irm2 = irm.copy()
+    irm2[2] = new2
+    settle = 5 * B
+    for o in range(co):
+        ref = np.zeros(T)
+        for i in range(ci):
+            ref += golden.direct_convolve(x[i], irm2[i, o])[:T]
+        assert snr_db(ref[settle:], y[o, settle:]) > 90.0
