@@ -17,6 +17,7 @@ from .nonuniform import (
     NonUniformState,
     nonuniform_render,
 )
+from .offline import offline_convolve
 from .matrix import (
     MatrixConvolver,
     matrix_step,
@@ -42,6 +43,7 @@ __all__ = [
     "NonUniformConvolver",
     "NonUniformState",
     "nonuniform_render",
+    "offline_convolve",
     "MatrixConvolver",
     "matrix_step",
     "matrix_step_crossfade",
