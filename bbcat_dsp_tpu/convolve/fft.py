@@ -144,14 +144,15 @@ def _balanced_factors(n: int) -> tuple[int, int]:
     return n1, n2
 
 
-def _cmatmul(ar, ai, br, bi):
-    """(ar + i ai) @ (br + i bi) with HIGHEST-precision real matmuls."""
-    rr = jnp.matmul(ar, br, precision=_PREC) - jnp.matmul(ai, bi, precision=_PREC)
-    ri = jnp.matmul(ar, bi, precision=_PREC) + jnp.matmul(ai, br, precision=_PREC)
+def _cmatmul(ar, ai, br, bi, prec=None):
+    """(ar + i ai) @ (br + i bi) with configurable-precision real matmuls."""
+    p = prec or _PREC
+    rr = jnp.matmul(ar, br, precision=p) - jnp.matmul(ai, bi, precision=p)
+    ri = jnp.matmul(ar, bi, precision=p) + jnp.matmul(ai, br, precision=p)
     return rr, ri
 
 
-def _fft_c(xr: jax.Array, xi: jax.Array, n: int):
+def _fft_c(xr: jax.Array, xi: jax.Array, n: int, prec=None):
     """Full complex DFT of the last axis (length n), plane in/out.
 
     Direct matmul for n <= _MAX_DIRECT; otherwise the four-step algorithm
@@ -159,14 +160,14 @@ def _fft_c(xr: jax.Array, xi: jax.Array, n: int):
     """
     if n <= _MAX_DIRECT:
         cr, ci = _cmats(n)
-        return _cmatmul(xr, xi, jnp.asarray(cr), jnp.asarray(ci))
+        return _cmatmul(xr, xi, jnp.asarray(cr), jnp.asarray(ci), prec)
     n1, n2 = _balanced_factors(n)
     lead = xr.shape[:-1]
     # A[n1, n2] = x[n1 + n1total*n2]  (n = n1*n2; index n1 fast)
     ar = xr.reshape(lead + (n2, n1)).swapaxes(-1, -2)
     ai = xi.reshape(lead + (n2, n1)).swapaxes(-1, -2)
     c2r, c2i = _cmats(n2)
-    yr, yi = _cmatmul(ar, ai, jnp.asarray(c2r), jnp.asarray(c2i))  # [.., n1, k2]
+    yr, yi = _cmatmul(ar, ai, jnp.asarray(c2r), jnp.asarray(c2i), prec)  # [.., n1, k2]
     twr, twi = _twiddle(n1, n2)
     twr = jnp.asarray(twr)
     twi = jnp.asarray(twi)
@@ -176,14 +177,14 @@ def _fft_c(xr: jax.Array, xi: jax.Array, n: int):
     # DFT over the n1 axis: move it last, matmul, move back
     tr = tr.swapaxes(-1, -2)  # [.., k2, n1]
     ti = ti.swapaxes(-1, -2)
-    zr, zi = _cmatmul(tr, ti, jnp.asarray(c1r), jnp.asarray(c1i))  # [.., k2, k1]
+    zr, zi = _cmatmul(tr, ti, jnp.asarray(c1r), jnp.asarray(c1i), prec)  # [.., k2, k1]
     # X[N2*k1 + k2] -> flatten with k1 slow: transpose to [k1, k2]
     zr = zr.swapaxes(-1, -2).reshape(lead + (n,))
     zi = zi.swapaxes(-1, -2).reshape(lead + (n,))
     return zr, zi
 
 
-def _dftmm_rfft(x: jax.Array, n: int) -> jax.Array:
+def _dftmm_rfft(x: jax.Array, n: int, prec=None) -> jax.Array:
     T = x.shape[-1]
     if T < n:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - T)])
@@ -191,20 +192,22 @@ def _dftmm_rfft(x: jax.Array, n: int) -> jax.Array:
         x = x[..., :n]
     if n <= _MAX_DIRECT:
         cos, msin, _, _ = _mats(n)
-        re = jnp.matmul(x, jnp.asarray(cos), precision=_PREC)
-        im = jnp.matmul(x, jnp.asarray(msin), precision=_PREC)
+        p = prec or _PREC
+        re = jnp.matmul(x, jnp.asarray(cos), precision=p)
+        im = jnp.matmul(x, jnp.asarray(msin), precision=p)
         return jnp.stack([re, im], axis=0)
-    zr, zi = _fft_c(x, jnp.zeros_like(x), n)
+    zr, zi = _fft_c(x, jnp.zeros_like(x), n, prec)
     F = n // 2 + 1
     return jnp.stack([zr[..., :F], zi[..., :F]], axis=0)
 
 
-def _dftmm_irfft(spec: jax.Array, n: int) -> jax.Array:
+def _dftmm_irfft(spec: jax.Array, n: int, prec=None) -> jax.Array:
     if n <= _MAX_DIRECT:
         _, _, icos, isin = _mats(n)
+        p = prec or _PREC
         return (
-            jnp.matmul(spec[0], jnp.asarray(icos), precision=_PREC)
-            + jnp.matmul(spec[1], jnp.asarray(isin), precision=_PREC)
+            jnp.matmul(spec[0], jnp.asarray(icos), precision=p)
+            + jnp.matmul(spec[1], jnp.asarray(isin), precision=p)
         )
     # hermitian-extend the half spectrum, inverse via conj(fft(conj(.)))/n
     re, im = spec[0], spec[1]
@@ -212,7 +215,7 @@ def _dftmm_irfft(spec: jax.Array, n: int) -> jax.Array:
     body_i = im[..., 1:-1][..., ::-1]
     fr = jnp.concatenate([re, body_r], axis=-1)
     fi = jnp.concatenate([im, -body_i], axis=-1)
-    zr, zi = _fft_c(fr, -fi, n)
+    zr, zi = _fft_c(fr, -fi, n, prec)
     del zi  # output of a hermitian inverse is real
     return zr / n
 
@@ -245,9 +248,13 @@ def backends() -> list[str]:
     return sorted(_BACKENDS)
 
 
-def rfft_planes(x: jax.Array, n: int, backend: str | None = None) -> jax.Array:
+def rfft_planes(x: jax.Array, n: int, backend: str | None = None,
+                precision=None) -> jax.Array:
     """Real FFT of the last axis -> ``[2, ..., n//2+1]`` re/im planes."""
-    return _BACKENDS[backend or default_backend()][0](x, n)
+    b = backend or default_backend()
+    if b == "dftmm":
+        return _dftmm_rfft(x, n, precision)
+    return _BACKENDS[b][0](x, n)
 
 
 def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None) -> jax.Array:
@@ -290,9 +297,13 @@ def irfft_tail_planes(spec: jax.Array, n: int, backend: str | None = None) -> ja
     return _BACKENDS[b][1](spec, n)[..., n // 2:]
 
 
-def irfft_planes(spec: jax.Array, n: int, backend: str | None = None) -> jax.Array:
+def irfft_planes(spec: jax.Array, n: int, backend: str | None = None,
+                 precision=None) -> jax.Array:
     """``[2, ..., F]`` planes -> ``n`` real samples on the last axis."""
-    return _BACKENDS[backend or default_backend()][1](spec, n)
+    b = backend or default_backend()
+    if b == "dftmm":
+        return _dftmm_irfft(spec, n, precision)
+    return _BACKENDS[b][1](spec, n)
 
 
 def cmul(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -3,9 +3,13 @@
 Streaming partitioned convolution pays for its block latency with HBM
 traffic proportional to ``N / B`` partitions per block.  When there is no
 latency requirement (bouncing a mix, batch rendering), one big FFT per
-chunk is orders of magnitude cheaper: chunk length ``L``, FFT size
-``n = next_pow2(L + N - 1)``, hop ``n - N + 1`` — traffic per audio second
-collapses to a few passes over the signal.
+chunk needs only a few passes over the signal.
+
+NOTE on this backend: with no hardware FFT, transforms cost
+~(n1 + n2) MACs/sample via the matmul Cooley-Tukey — the SAME order as the
+partitioned streaming engine's per-sample cost — so offline mode trades
+latency for simplicity (single pass, stateless), not for speed.  On a
+backend with a native FFT it would also be the fast path.
 
 Uses the same plane-FFT backend (Cooley-Tukey for the large transforms);
 float32 throughout, >=90 dB vs the float64 golden model like everything
@@ -35,9 +39,13 @@ def _cmul(a, b):
 def _ols(xpad, H, n: int, hop: int, nchunks: int, T: int):
     C = xpad.shape[0]
 
+    prec = jax.lax.Precision.HIGHEST  # large transforms: keep the 90 dB
+    # margin (HIGH loses ~4 dB per doubling of transform size)
+
     def body(_, i):
         seg = jax.lax.dynamic_slice_in_dim(xpad, i * hop, n, axis=-1)
-        Y = irfft_planes(_cmul(rfft_planes(seg, n), H), n)
+        spec = rfft_planes(seg, n, precision=prec)
+        Y = irfft_planes(_cmul(spec, H), n, precision=prec)
         return _, Y[..., n - hop:]  # keep the valid hop samples
 
     _, ys = jax.lax.scan(body, None, jnp.arange(nchunks))
