@@ -121,8 +121,7 @@ def _twiddle(n1: int, n2: int):
 
 
 def _balanced_factors(n: int) -> tuple[int, int]:
-    """n = n1 * n2 with both <= _MAX_DIRECT//2 and as balanced as possible."""
-    best = None
+    """n = n1 * n2 with both <= 1024 and as balanced as possible."""
     f = 2
     m = n
     factors = []
