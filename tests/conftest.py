@@ -33,7 +33,8 @@ assert len(jax.devices()) == 8, jax.devices()
 
 @pytest.fixture
 def rng():
-    return np.random.default_rng(1234)
+    # BBCAT_TEST_SEED overrides for robustness sweeps (CI default fixed)
+    return np.random.default_rng(int(os.environ.get("BBCAT_TEST_SEED", "1234")))
 
 
 def snr_db(ref, test) -> float:
