@@ -247,7 +247,8 @@ class BiQuadCascade:
 
     def __init__(self, coeffs, systolic: bool = False, engine: str = "auto",
                  dtype=jnp.float32, fs: float = 48000.0):
-        self.coeffs = jnp.asarray(np.atleast_2d(coeffs), dtype)
+        self.coeffs_host = np.atleast_2d(np.asarray(coeffs, np.float64))
+        self.coeffs = jnp.asarray(self.coeffs_host, dtype)
         self.states = None
         self.systolic = systolic
         self.engine = engine
@@ -286,8 +287,9 @@ class BiQuadCascade:
         return cls(np.asarray(rows), **kw)
 
     def process(self, x: jax.Array) -> jax.Array:
+        # host float64 coefficients preserve modal pole precision
         y, self.states = cascade_apply(
-            x, self.coeffs, self.states, engine=self.engine,
+            x, self.coeffs_host, self.states, engine=self.engine,
             systolic=self.systolic,
         )
         return y
@@ -309,15 +311,16 @@ class BiQuadBlock:
 
     def __init__(self, coeffs, nchannels: int, block_size: int,
                  engine: str = "auto", dtype=jnp.float32):
-        coeffs = np.atleast_2d(coeffs)
+        coeffs = np.atleast_2d(np.asarray(coeffs, np.float64))
         self.block_size = block_size
         self.engine = engine
+        self.coeffs_host = coeffs
         self.coeffs = jnp.asarray(coeffs, dtype)
         self.states = None
 
     def process_block(self, x: jax.Array) -> jax.Array:
         assert x.shape[-1] == self.block_size
         y, self.states = cascade_apply(
-            x, self.coeffs, self.states, engine=self.engine
+            x, self.coeffs_host, self.states, engine=self.engine
         )
         return y

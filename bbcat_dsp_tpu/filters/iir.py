@@ -106,7 +106,9 @@ def modal_params(coeffs, dtype=jnp.float32) -> ModalParams:
     """Factor ``[..., 5]`` host coefficients into poles + numerator FIR.
 
     Root-finding runs in float64 on the host (design time): float32 quadratic
-    roots would suffer sqrt cancellation for near-repeated poles.
+    roots would suffer sqrt cancellation for near-repeated poles.  Pass the
+    ORIGINAL float64 coefficients — casting to float32 first costs ~30 dB
+    for near-real-axis pole pairs through discriminant cancellation.
     """
     c = np.asarray(coeffs, np.float64)
     b0, b1, b2, a1, a2 = np.moveaxis(c, -1, 0)

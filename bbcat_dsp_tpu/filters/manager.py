@@ -102,11 +102,14 @@ class FilterManager:
                 groups.setdefault(name, []).append(ch)
         for name, chans in sorted(groups.items()):
             chans = sorted(chans)
-            coeffs = jnp.asarray(self._configs[name], self.dtype)
+            # float64 HOST coefficients: the modal engine factors poles on
+            # the host, and a prior float32 cast would lose ~30 dB through
+            # discriminant cancellation for near-real-axis pole pairs
+            coeffs = self._configs[name][:, None, :]
             st = self._states.get(name)
             sub = y[jnp.asarray(chans)]
             out, st = cascade_apply(
-                sub, coeffs[:, None, :], st, engine=self.engine
+                sub, coeffs, st, engine=self.engine
             )
             self._states[name] = st
             y = y.at[jnp.asarray(chans)].set(out)

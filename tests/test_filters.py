@@ -366,3 +366,18 @@ def test_filter_manager(rng):
     ref2, _ = golden.cascade_process(
         np.concatenate([x[0], x[0]]), voice_coeffs)
     assert snr_db(ref2[512:], y2[0]) > 90.0
+
+
+def test_modal_params_need_f64_coeffs(rng):
+    """Regression: factoring poles from float32-ROUNDED coefficients loses
+    ~30 dB through discriminant cancellation for near-real-axis pole pairs
+    (LSH at 200 Hz).  Wrappers must hand float64 host coefficients to the
+    modal engine."""
+    c64 = golden.biquad_coeffs(FilterType.LSH, 200.0, FS, gain=3.0)
+    x = rng.standard_normal(4096).astype(np.float32)
+    ref, _ = golden.biquad_process(x, c64)
+    y64, _ = biquad_apply(jnp.asarray(x), c64)                    # f64 design
+    y32, _ = biquad_apply(jnp.asarray(x), c64.astype(np.float32))  # f32 first
+    assert snr_db(ref, np.asarray(y64)) > 110.0
+    # the f32-cast path is measurably worse (documents why wrappers keep f64)
+    assert snr_db(ref, np.asarray(y64)) > snr_db(ref, np.asarray(y32)) + 10.0
