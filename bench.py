@@ -78,10 +78,24 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # The relay's load varies on minute scales and inflates every sample
+    # (interference only ever ADDS time), so take the best slope across a
+    # few attempts spaced out in time, stopping early once an attempt is
+    # clearly uncongested.
     n1, n2 = 2, 12
-    t_short = chain(n1)
-    t_long = chain(n2)
-    per_render = max((t_long - t_short) / (n2 - n1), 1e-9)
+    per_render = float("inf")
+    good = (T / fs) / 400.0  # per-render time at 400x real-time
+    for attempt in range(5):
+        t_short = chain(n1)
+        t_long = chain(n2)
+        per = (t_long - t_short) / (n2 - n1)
+        if per > 0.2 * t_short / n1:  # slope consistent with absolute time
+            per_render = min(per_render, per)
+        if per_render < good:
+            break
+        time.sleep(15)
+    if not np.isfinite(per_render):
+        per_render = max(per, t_long / n2)  # overhead-inclusive fallback
 
     audio_seconds = T / fs
     rtf = audio_seconds / per_render
