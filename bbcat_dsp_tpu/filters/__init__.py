@@ -31,7 +31,7 @@ from .bank import (
     bank_process,
     bank_set_stage,
 )
-from .allpass import AllPassFilter, AllPassFilterChain, allpass_apply
+from .allpass import AllPassFilter, AllPassFilterChain, allpass_apply, comb_apply
 from .fractional import (
     ADDITIONAL_DELAY,
     FractionalDelayLine,
@@ -64,6 +64,7 @@ __all__ = [
     "AllPassFilter",
     "AllPassFilterChain",
     "allpass_apply",
+    "comb_apply",
     "ADDITIONAL_DELAY",
     "FractionalDelayLine",
     "additional_delay_required",

@@ -22,7 +22,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["allpass_apply", "AllPassFilter", "AllPassFilterChain"]
+__all__ = ["allpass_apply", "AllPassFilter", "AllPassFilterChain", "comb_apply"]
 
 
 @partial(jax.jit, static_argnames=("delay",))
@@ -70,6 +70,40 @@ def allpass_apply(
     else:
         new_ring = jnp.concatenate([w_ring[..., T:], wflat[..., :T]], axis=-1)
     return y, new_ring
+
+
+@partial(jax.jit, static_argnames=("delay",))
+def comb_apply(x: jax.Array, feedback, delay: int,
+               y_ring: jax.Array | None = None):
+    """Feedback comb ``y[n] = x[n] + g * y[n - d]`` over ``x[..., T]`` —
+    the other classic reverb building block next to the all-pass
+    (ref: src/AllPassFilter.h:12-15 notes).  Same phase-decomposed
+    associative-scan structure; state is the ring of the last ``d``
+    outputs.  Returns ``(y, new_ring)``."""
+    T = x.shape[-1]
+    d = int(delay)
+    g = jnp.asarray(feedback, x.dtype)
+    if y_ring is None:
+        y_ring = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
+    pad = (-T) % d
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    m = xp.shape[-1] // d
+    xb = xp.reshape(x.shape[:-1] + (m, d))
+
+    def compose(f, g_):
+        bf, vf = f
+        bg, vg = g_
+        return bf * bg, bg * vf + vg
+
+    beta = jnp.broadcast_to(g, xb.shape)
+    bcum, vcum = jax.lax.associative_scan(compose, (beta, xb), axis=-2)
+    y = bcum * y_ring[..., None, :] + vcum
+    yflat = y.reshape(xp.shape)[..., :T]
+    if T >= d:
+        new_ring = yflat[..., T - d:T]
+    else:
+        new_ring = jnp.concatenate([y_ring[..., T:], yflat], axis=-1)
+    return yflat, new_ring
 
 
 class AllPassFilter:

@@ -4,6 +4,7 @@ pipeline configs made concrete)."""
 
 from .binaural import BinauralRenderer, BinauralState, binaural_init, binaural_step
 from .pipeline import EQDelayPipeline, MixdownPipeline
+from .reverb import SchroederReverb
 
 __all__ = [
     "BinauralRenderer",
@@ -12,4 +13,5 @@ __all__ = [
     "binaural_step",
     "EQDelayPipeline",
     "MixdownPipeline",
+    "SchroederReverb",
 ]

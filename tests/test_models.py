@@ -114,3 +114,45 @@ def test_mixdown_pipeline(rng):
     L = pipe.integrated_loudness()
     ref_L = golden.integrated_loudness(ref, FS)
     assert abs(L - ref_L) < 0.1
+
+
+def test_comb_apply_vs_scalar(rng):
+    from bbcat_dsp_tpu.filters import comb_apply
+
+    x = rng.standard_normal((2, 300)).astype(np.float32)
+    g, d = 0.6, 17
+    y = np.asarray(comb_apply(jnp.asarray(x), g, d)[0])
+    ref = np.zeros_like(x)
+    for c in range(2):
+        for n in range(300):
+            ref[c, n] = x[c, n] + (g * ref[c, n - d] if n >= d else 0.0)
+    assert snr_db(ref, y) > 110.0
+
+
+def test_schroeder_reverb(rng):
+    """Impulse through the reverb: dense exponentially-decaying tail with
+    approximately the requested RT60; stable; streaming-consistent."""
+    from bbcat_dsp_tpu.models import SchroederReverb
+
+    fs, rt60 = 48000.0, 0.5
+    rev = SchroederReverb(2, fs=fs, rt60=rt60, mix=1.0)
+    B = 4800
+    x = np.zeros((2, B * 10), np.float32)
+    x[:, 0] = 1.0
+    outs = [np.asarray(rev.process_block(jnp.asarray(x[:, i*B:(i+1)*B])))
+            for i in range(10)]
+    y = np.concatenate(outs, -1)
+    assert np.all(np.isfinite(y))
+    # energy in consecutive 100 ms windows decays roughly -6 dB per rt60/10
+    w = int(0.1 * fs)
+    env = [np.sum(y[0, i*w:(i+1)*w]**2) for i in range(2, 8)]
+    drops = [10 * np.log10(env[i] / env[i+1]) for i in range(len(env)-1)]
+    # RT60 0.5 s -> -12 dB per 100 ms; allow generous tolerance (sparse
+    # early tail)
+    assert 6.0 < np.mean(drops) < 20.0, drops
+    # tail is dense: most samples in the 0.2-0.4 s window are nonzero
+    tail = y[0, int(0.2*fs):int(0.4*fs)]
+    assert np.mean(np.abs(tail) > 1e-7) > 0.8
+    # channels decorrelated (different comb tunings)
+    c = np.corrcoef(y[0, :w*5], y[1, :w*5])[0, 1]
+    assert abs(c) < 0.5
