@@ -49,14 +49,19 @@ class SchroederReverb:
             # g = 10^(-3 d / (rt60 fs)) gives -60 dB after rt60 seconds
             self.comb_gains.append(tuple(
                 10.0 ** (-3.0 * d / (rt60 * fs)) for d in ds))
-        self.ap_delays = tuple(int(round(d * scale))
-                               for d in _ALLPASS_DELAYS_25K)
+        # per-channel all-pass tunings decorrelate the dense tail between
+        # channels (comb offsets alone leave the early field correlated)
+        self.ap_delays = [
+            tuple(int(round(d * scale)) + 7 * c for c in range(nchannels))
+            for d in _ALLPASS_DELAYS_25K
+        ]
         self.nchannels = nchannels
         self._comb_rings = [
             [jnp.zeros((1, d), dtype) for d in ds] for ds in self.comb_delays
         ]
-        self._ap_rings = [jnp.zeros((nchannels, d), dtype)
-                          for d in self.ap_delays]
+        self._ap_rings = [
+            [jnp.zeros((1, d), dtype) for d in ds] for ds in self.ap_delays
+        ]
 
     def process_block(self, x: jax.Array) -> jax.Array:
         """``x [C, B]`` -> reverberated ``[C, B]`` (dry/wet mixed)."""
@@ -71,13 +76,19 @@ class SchroederReverb:
                 outs.append(y)
             wet = wet + jnp.concatenate(outs, axis=0)
         wet = wet / len(self.comb_delays)
-        for ai, d in enumerate(self.ap_delays):
-            wet, self._ap_rings[ai] = allpass_apply(
-                wet, _ALLPASS_COEFF, d, self._ap_rings[ai]
-            )
+        for ai, ds in enumerate(self.ap_delays):
+            outs = []
+            for c in range(self.nchannels):
+                y, self._ap_rings[ai][c] = allpass_apply(
+                    wet[c:c + 1], _ALLPASS_COEFF, ds[c],
+                    self._ap_rings[ai][c]
+                )
+                outs.append(y)
+            wet = jnp.concatenate(outs, axis=0)
         return (1.0 - self.mix) * x + self.mix * wet
 
     def reset(self) -> None:
         self._comb_rings = [[jnp.zeros_like(r) for r in rs]
                             for rs in self._comb_rings]
-        self._ap_rings = [jnp.zeros_like(r) for r in self._ap_rings]
+        self._ap_rings = [[jnp.zeros_like(r) for r in rs]
+                          for rs in self._ap_rings]
