@@ -85,7 +85,7 @@ def main() -> None:
     n1, n2 = 2, 12
     per_render = float("inf")
     good = (T / fs) / 400.0  # per-render time at 400x real-time
-    for attempt in range(5):
+    for attempt in range(6):
         t_short = chain(n1)
         t_long = chain(n2)
         per = (t_long - t_short) / (n2 - n1)
@@ -93,7 +93,7 @@ def main() -> None:
             per_render = min(per_render, per)
         if per_render < good:
             break
-        time.sleep(15)
+        time.sleep(40)
     if not np.isfinite(per_render):
         per_render = max(per, t_long / n2)  # overhead-inclusive fallback
 
