@@ -16,6 +16,7 @@ from .nonuniform import (
     NonUniformConvolver,
     NonUniformState,
     nonuniform_render,
+    nonuniform_render_looped,
 )
 from .offline import offline_convolve
 from .matrix import (
@@ -43,6 +44,7 @@ __all__ = [
     "NonUniformConvolver",
     "NonUniformState",
     "nonuniform_render",
+    "nonuniform_render_looped",
     "offline_convolve",
     "MatrixConvolver",
     "matrix_step",

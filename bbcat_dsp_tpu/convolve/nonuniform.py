@@ -227,9 +227,8 @@ def _super_step_static_tail(state: NonUniformState, H_head, H_tail, x,
     return NonUniformState(xcarry, prev, tail, pending), y
 
 
-@partial(jax.jit, static_argnames=("block", "tail_slot0"), donate_argnums=(0,))
-def nonuniform_render(state: NonUniformState, H_head, H_tail, x, block: int,
-                      tail_slot0: int | None = None):
+def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
+                 tail_slot0: int | None = None):
     """Render ``[C, T]`` (T multiple of the super-block) via on-device scan
     over SUPER-blocks.
 
@@ -269,6 +268,32 @@ def nonuniform_render(state: NonUniformState, H_head, H_tail, x, block: int,
 
     state, ys = jax.lax.scan(body, state, blocks)
     return state, jnp.moveaxis(ys, 0, 1).reshape(C, T)
+
+
+@partial(jax.jit, static_argnames=("block", "tail_slot0"), donate_argnums=(0,))
+def nonuniform_render(state: NonUniformState, H_head, H_tail, x, block: int,
+                      tail_slot0: int | None = None):
+    return _render_impl(state, H_head, H_tail, x, block, tail_slot0)
+
+
+@partial(jax.jit, static_argnames=("block", "repeats", "tail_slot0"),
+         donate_argnums=(0,))
+def nonuniform_render_looped(state: NonUniformState, H_head, H_tail, x,
+                             block: int, repeats: int,
+                             tail_slot0: int | None = None):
+    """Process the same signal ``repeats`` times back-to-back in ONE device
+    program (state chained; only per-repeat output tails returned).
+
+    Exists for honest throughput measurement through a high-latency
+    dispatch path: one dispatch covers ``repeats`` renders, so timing
+    slopes over ``repeats`` measure pure device time."""
+
+    def body(st, _):
+        st, y = _render_impl(st, H_head, H_tail, x, block, tail_slot0)
+        return st, y[:, -1]
+
+    state, tails = jax.lax.scan(body, state, None, length=repeats)
+    return state, tails
 
 
 class NonUniformConvolver:

@@ -33,7 +33,11 @@ def main() -> None:
     import jax.numpy as jnp
     from scipy.signal import fftconvolve
 
-    from bbcat_dsp_tpu.convolve import NonUniformConvolver, nonuniform_render
+    from bbcat_dsp_tpu.convolve import (
+        NonUniformConvolver,
+        nonuniform_render,
+        nonuniform_render_looped,
+    )
 
     fs = 48000.0
     C, N, B = 64, 32768, 512
@@ -64,28 +68,33 @@ def main() -> None:
     conv.reset()
     state = conv.state
     Hh, Ht = conv.H_head, conv.H_tail
-    state, yw = nonuniform_render(state, Hh, Ht, xd, B)  # warm-up/compile
-    float(jnp.sum(yw))
 
     def chain(n: int) -> float:
+        # n renders inside ONE device program: per-dispatch relay latency
+        # appears once per call and cancels in the slope over n
         nonlocal state
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(n):
-                state, yy = nonuniform_render(state, Hh, Ht, xd, B)
-            float(jnp.sum(yy))
+            state, tails = nonuniform_render_looped(
+                state, Hh, Ht, xd, B, n, tail_slot0=0
+            )
+            float(jnp.sum(tails))
             best = min(best, time.perf_counter() - t0)
         return best
+
+    chain(n1 := 2)  # warm-up/compile both sizes
+
 
     # The relay's load varies on minute scales and inflates every sample
     # (interference only ever ADDS time), so take the best slope across a
     # few attempts spaced out in time, stopping early once an attempt is
     # clearly uncongested.
     n1, n2 = 2, 12
+    chain(n2)
     per_render = float("inf")
     good = (T / fs) / 400.0  # per-render time at 400x real-time
-    for attempt in range(6):
+    for attempt in range(4):
         t_short = chain(n1)
         t_long = chain(n2)
         per = (t_long - t_short) / (n2 - n1)
@@ -93,7 +102,7 @@ def main() -> None:
             per_render = min(per_render, per)
         if per_render < good:
             break
-        time.sleep(40)
+        time.sleep(20)
     if not np.isfinite(per_render):
         per_render = max(per, t_long / n2)  # overhead-inclusive fallback
 
