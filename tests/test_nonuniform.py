@@ -168,3 +168,33 @@ def test_per_channel_swap(rng):
     ref1 = golden.direct_convolve(x[1], h1)[:T]
     assert snr_db(ref0[settle:], y[0, settle:]) > 90.0
     assert snr_db(ref1[settle:], y[1, settle:]) > 90.0
+
+
+def test_looped_render_matches_repeated(rng):
+    """nonuniform_render_looped == chained nonuniform_render calls (the
+    bench's measurement primitive must be semantically identical)."""
+    from bbcat_dsp_tpu.convolve.nonuniform import (
+        nonuniform_render, nonuniform_render_looped)
+
+    B, ratio = 32, 4
+    SB = B * ratio
+    N = 3 * SB
+    ir = rng.standard_normal((2, N)) * 0.2
+    conv = NonUniformConvolver(ir, block=B, ratio=ratio)
+    Pt = conv.tail_parts
+    T = SB * Pt
+    x = rng.standard_normal((2, T)).astype(np.float32)
+
+    s1 = conv.state
+    tails_ref = []
+    for _ in range(3):
+        s1, y = nonuniform_render(s1, conv.H_head, conv.H_tail,
+                                  jnp.asarray(x), B, tail_slot0=0)
+        tails_ref.append(np.asarray(y[:, -1]))
+
+    conv2 = NonUniformConvolver(ir, block=B, ratio=ratio)
+    s2, tails = nonuniform_render_looped(
+        conv2.state, conv2.H_head, conv2.H_tail, jnp.asarray(x), B, 3,
+        tail_slot0=0)
+    np.testing.assert_allclose(np.asarray(tails),
+                               np.stack(tails_ref), atol=1e-5)
