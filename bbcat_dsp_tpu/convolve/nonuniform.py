@@ -384,6 +384,7 @@ class NonUniformConvolver:
             self.state, y = _super_step(
                 self.state, self.H_head, self.H_tail, x, self.block
             )
+        self._tail_steps += 1
         return y
 
     def process(self, x: jax.Array) -> jax.Array:
@@ -447,6 +448,7 @@ class NonUniformConvolver:
                 )
             pending = jnp.stack([st.pending[1], out_tail])
             self._sb_fill = 0
+            self._tail_steps += 1
         else:
             tail, pending = st.tail, st.pending
         self.state = NonUniformState(xcarry, prev, tail, pending)

@@ -198,3 +198,24 @@ def test_looped_render_matches_repeated(rng):
         tail_slot0=0)
     np.testing.assert_allclose(np.asarray(tails),
                                np.stack(tails_ref), atol=1e-5)
+
+
+def test_mixed_mode_slot_tracking(rng):
+    """process_block / process_small_block advance the host tail-step
+    mirror so a later process() picks the correct static slot (regression:
+    stale slot silently corrupted the render)."""
+    B, ratio = 32, 4
+    SB = B * ratio
+    N = 3 * SB
+    ir = rng.standard_normal(N) * 0.2
+    conv = NonUniformConvolver(ir, block=B, ratio=ratio)
+    Pt = conv.tail_parts
+    T1 = SB * 2               # two super-blocks via process_block
+    T2 = SB * Pt              # then a fast-path render
+    x = rng.standard_normal(T1 + T2).astype(np.float32)
+    y1a = np.asarray(conv.process_block(jnp.asarray(x[None, :SB])))
+    y1b = np.asarray(conv.process_block(jnp.asarray(x[None, SB:2*SB])))
+    y2 = np.asarray(conv.process(jnp.asarray(x[None, 2*SB:])))
+    y = np.concatenate([y1a, y1b, y2], -1)[0]
+    ref = golden.direct_convolve(x, ir)[: y.size]
+    assert snr_db(ref, y) > 90.0
