@@ -273,3 +273,21 @@ def test_offline_matches_streaming_engine(rng):
     ys = np.asarray(stream.process(jnp.asarray(x)))
     yo = np.asarray(offline_convolve(jnp.asarray(x), ir))
     assert snr_db(ys, yo) > 90.0
+
+
+def test_uniform_mixed_mode_slot_tracking(rng):
+    """BlockConvolver: per-block streaming then whole-signal render keeps
+    the host step mirror (and therefore the static slot) correct."""
+    B, N = 64, 512
+    ir = rng.standard_normal(N) * 0.3
+    conv = BlockConvolver(ir, block=B)
+    P = conv.nparts
+    T1 = B * 3                  # odd number of blocks via process_block
+    T2 = B * P * 2              # then fast-path render
+    x = rng.standard_normal(T1 + T2).astype(np.float32)
+    ys = [np.asarray(conv.process_block(jnp.asarray(x[None, i*B:(i+1)*B])))
+          for i in range(3)]
+    y2 = np.asarray(conv.process(jnp.asarray(x[None, T1:])))
+    y = np.concatenate(ys + [y2], -1)[0]
+    ref = golden.direct_convolve(x, ir)[: y.size]
+    assert snr_db(ref, y) > 90.0
