@@ -15,9 +15,9 @@ from .wav import read_wav
 
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    if not argv:
+    if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
-        return 2
+        return 0 if argv else 2
     for path in argv:
         audio, fs = read_wav(path)
         L = float(integrated_loudness(jnp.asarray(audio), fs))
