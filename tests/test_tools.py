@@ -96,3 +96,29 @@ def test_convolve_cli_sofa(tmp_path, rng):
     y, fs = read_wav(po)
     assert y.shape[0] == 2 and y.shape[1] == x.shape[1] and fs == 48000.0
     assert np.abs(y).max() > 0
+
+
+def test_bench_watchdog_emits_parseable_line():
+    """bench.py's SIGALRM watchdog must print ONE parseable JSON line and
+    exit 0 if the TPU relay stalls (the driver records whatever bench
+    prints; a hang or traceback would lose the round's benchmark slot)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import signal, sys; sys.path.insert(0, %r); import bench; "
+        "signal.signal(signal.SIGALRM, bench._watchdog); signal.alarm(1); "
+        "signal.pause()" % root
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    line = r.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "rtf_64ch_32ktap_48kHz_1chip"
+    assert out["value"] is None and "error" in out
