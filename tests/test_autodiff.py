@@ -56,7 +56,9 @@ def test_fit_ir_by_gradient_descent(rng):
         ir, opt_state = step(ir, opt_state)
     fitted = np.asarray(ir)[:N]
     assert snr_db(true_ir, fitted) > 30.0
-    assert float(loss(ir)) < 1e-4
+    # scale-free residual: absolute loss depends on the seed's signal energy
+    rel = float(loss(ir)) / float(jnp.mean(y_target ** 2))
+    assert rel < 1e-3, rel
 
 
 def test_gradients_flow_through_iir(rng):
