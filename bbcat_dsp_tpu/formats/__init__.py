@@ -11,7 +11,7 @@ from .sample_format import (
     is_sample_integer,
     sample_format_of,
 )
-from .dither import Ditherer, TPDFDitherer
+from .dither import Ditherer, ShapedDitherer, TPDFDitherer
 from . import host
 from . import device
 from .device import (
@@ -35,6 +35,7 @@ __all__ = [
     "is_sample_integer",
     "sample_format_of",
     "Ditherer",
+    "ShapedDitherer",
     "TPDFDitherer",
     "host",
     "convert",

@@ -4,10 +4,22 @@ Measures the north-star metric: real-time factor of 64-channel x 32768-tap
 partitioned convolution at 48 kHz on one TPU chip (BASELINE.json), plus the
 SNR of the same computation against the float64 golden model.
 
-The TPU is reached through a shared relay whose latency fluctuates, so the
-timing estimator is the MINIMUM over several short trials (the standard
-estimator under external interference), and compilations are cached on disk
-across runs.
+The TPU is reached through a shared relay whose latency fluctuates and can
+stall outright, so the harness is organised around ALWAYS having a number:
+
+- the very first timed call already yields a defensible lower bound
+  (total wall time of a 2-render chain, dispatch included) which is
+  stashed in ``_BEST`` immediately;
+- every subsequent, better measurement replaces it;
+- the SIGALRM watchdog and any exception path emit the best-so-far value
+  with ``"approx": true`` instead of a null line;
+- compilations are cached on disk across runs, and the float64 golden
+  reference for the SNR check is cached in /tmp so re-runs skip it.
+
+Timing estimator: per-render cost is the SLOPE between a short and a long
+chain of renders executed inside one device program (intercept = relay
+round-trip, which cancels); the minimum over spaced attempts is kept (the
+standard estimator under external interference, which only ever ADDS time).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -24,24 +36,91 @@ import time
 
 import numpy as np
 
-_WATCHDOG_S = 420
+_WATCHDOG_S = 400    # first deadline: emit an interim line, keep running
+_WATCHDOG_EXTRA_S = 150  # second deadline: emit final line and exit
+
+# Best-so-far measurement, updated the moment any timing exists so the
+# watchdog / exception paths can emit a real number instead of null.
+_BEST = {
+    "rtf": None,        # best real-time factor measured so far
+    "per_render": None,
+    "snr": None,
+    "stage": "init",    # how far the run got (for the approx note)
+    "exact": False,     # True once the slope estimator has run
+}
+
+_FS = 48000.0
+_C, _N, _B = 64, 32768, 512
+_NBLOCKS = 48  # per render: 6 super-blocks (tail fires every super-block)
+_T = _B * _NBLOCKS
+
+
+def _emit(note: str | None = None) -> None:
+    """Print the ONE JSON result line from whatever _BEST holds."""
+    rtf = _BEST["rtf"]
+    result = {
+        "metric": "rtf_64ch_32ktap_48kHz_1chip",
+        "value": round(float(rtf), 2) if rtf is not None else None,
+        "unit": "x_realtime",
+        "vs_baseline": round(float(rtf) / 100.0, 3) if rtf is not None else None,
+    }
+    if _BEST["snr"] is not None:
+        result["snr_db_vs_golden"] = round(float(_BEST["snr"]), 1)
+    if _BEST["per_render"] is not None:
+        result["samples_per_sec_per_chip"] = int(
+            _C * _T / _BEST["per_render"]
+        )
+    result["engine"] = "nonuniform_partitioned(B=512, ratio=8)"
+    if note is not None:
+        result["approx"] = True
+        result["note"] = f"{note} (stage={_BEST['stage']}); " + (
+            "value is the best lower bound measured before the interruption"
+            if rtf is not None else "no timing completed"
+        )
+    print(json.dumps(result))
+    sys.stdout.flush()
+
+
+_fired = 0
 
 
 def _watchdog(signum, frame):  # noqa: ARG001
-    # the relay to the TPU can stall indefinitely under contention; emit a
-    # parseable result rather than hanging the harness
-    print(json.dumps({
-        "metric": "rtf_64ch_32ktap_48kHz_1chip",
-        "value": None,
-        "unit": "x_realtime",
-        "vs_baseline": None,
-        "error": f"TPU relay stalled > {_WATCHDOG_S}s; see BENCH_EXTRA.json "
-                 "and scripts/device_rtf.py for prior measurements",
-    }))
-    sys.stdout.flush()
+    # The relay to the TPU can stall for minutes under contention (backend
+    # init alone has been observed >420 s).  Two-phase: at the first
+    # deadline emit the best-so-far as an interim line and re-arm — the
+    # driver parses the LAST complete JSON line, so a later, better result
+    # supersedes it; at the second deadline emit and exit for real.
+    global _fired
+    _fired += 1
+    if _fired == 1:
+        _emit(note=f"TPU relay slow; interim result at {_WATCHDOG_S}s")
+        signal.alarm(_WATCHDOG_EXTRA_S)
+        return
+    _emit(note=f"TPU relay stalled > {_WATCHDOG_S + _WATCHDOG_EXTRA_S}s")
     os._exit(0)
 
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def _golden_ref(x0: np.ndarray, ir0: np.ndarray) -> np.ndarray:
+    """Float64 golden convolution of channel 0, cached on disk across runs."""
+    cache = "/tmp/bbcat_bench_golden_v1.npz"
+    key = float(x0[:8].sum() + ir0[:8].sum())
+    try:
+        z = np.load(cache)
+        if abs(float(z["key"]) - key) < 1e-12 and z["ref"].shape == (_T,):
+            return z["ref"]
+    except Exception:
+        pass
+    from scipy.signal import fftconvolve
+
+    ref = fftconvolve(x0.astype(np.float64), ir0.astype(np.float64))[:_T]
+    try:
+        np.savez(cache, ref=ref, key=key)
+    except Exception:
+        pass
+    return ref
 
 
 def main() -> None:
@@ -51,76 +130,84 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
-    from scipy.signal import fftconvolve
 
     from bbcat_dsp_tpu.convolve import (
         NonUniformConvolver,
-        nonuniform_render,
         nonuniform_render_looped,
     )
 
-    fs = 48000.0
-    C, N, B = 64, 32768, 512
-    nblocks = 48  # per render: nsuper = 6 = tail partition count -> the
-    # static-slot (zero-gather) tail path engages
-    T = B * nblocks
+    # Backend init through the relay is the single most variable cost
+    # (107-270 s observed; it is what stalled round 1's bench) — absorb it
+    # on a trivial op so the first real timing isn't polluted by it.
+    _BEST["stage"] = "backend_init"
+    float(jnp.sum(jnp.ones((8, 128)) * 2))
 
     rng = np.random.default_rng(0)
-    irs = (rng.standard_normal((C, N)) * np.exp(-np.arange(N) / 4000.0)).astype(
-        np.float64
-    )
-    x = rng.standard_normal((C, T)).astype(np.float32)
+    irs = (
+        rng.standard_normal((_C, _N)) * np.exp(-np.arange(_N) / 4000.0)
+    ).astype(np.float64)
+    x = rng.standard_normal((_C, _T)).astype(np.float32)
 
-    conv = NonUniformConvolver(irs, block=B, ratio=8)
+    conv = NonUniformConvolver(irs, block=_B, ratio=8)
     xd = jnp.asarray(x)
+    audio_seconds = _T / _FS
 
-    # accuracy: one channel vs float64 golden convolution
-    y = conv.process(xd)
-    y0 = np.asarray(y[0])
-    ref0 = fftconvolve(x[0].astype(np.float64), irs[0])[:T]
-    snr = 10.0 * np.log10(np.sum(ref0**2) / np.sum((ref0 - y0) ** 2))
-
-    # throughput: steady-state on-device render, state donated.  The TPU sits
-    # behind a relay whose round-trip (~30 ms) dwarfs the compute, and
-    # block_until_ready does not reliably block through it — so force a
-    # device-side scalar fetch and measure the SLOPE between a short and a
-    # long chain of renders (intercept = relay RTT, slope = true cost).
+    # -- throughput first: get a number on the board before anything else --
+    # NOTE: tail_slot0 stays None (dynamic tail-queue slot).  The static-slot
+    # variant is marginally faster on device but its fully-unrolled program
+    # takes the remote compiler minutes-to-stalled on bad days, while the
+    # dynamic variant compiles in ~5 s and still clears the target several
+    # times over (426-575x measured).
     conv.reset()
     state = conv.state
     Hh, Ht = conv.H_head, conv.H_tail
 
-    def chain(n: int) -> float:
+    def chain(n: int, trials: int = 2) -> float:
         # n renders inside ONE device program: per-dispatch relay latency
-        # appears once per call and cancels in the slope over n
+        # appears once per call and cancels in the slope over n.  Every
+        # completed call immediately improves the overhead-INCLUSIVE lower
+        # bound in _BEST, so even a later stall leaves a real value.
         nonlocal state
         best = float("inf")
-        for _ in range(2):
+        for _ in range(trials):
             t0 = time.perf_counter()
             state, tails = nonuniform_render_looped(
-                state, Hh, Ht, xd, B, n, tail_slot0=0
+                state, Hh, Ht, xd, _B, n, tail_slot0=None
             )
             float(jnp.sum(tails))
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            lb = audio_seconds * n / dt  # dispatch-inclusive -> lower bound
+            if _BEST["rtf"] is None or (not _BEST["exact"]
+                                        and lb > _BEST["rtf"]):
+                _BEST["rtf"] = lb
+                _BEST["per_render"] = dt / n
         return best
 
-    chain(n1 := 2)  # warm-up/compile both sizes
+    _BEST["stage"] = "compile_short"
+    chain(2, trials=1)  # compile + first dispatch-inclusive lower bound
+    _BEST["stage"] = "compile_long"
+    n1, n2 = 2, 12
+    chain(n2, trials=1)
 
-
+    _BEST["stage"] = "slope"
     # The relay's load varies on minute scales and inflates every sample
     # (interference only ever ADDS time), so take the best slope across a
     # few attempts spaced out in time, stopping early once an attempt is
     # clearly uncongested.
-    n1, n2 = 2, 12
-    chain(n2)
     per_render = float("inf")
-    good = (T / fs) / 400.0  # per-render time at 400x real-time
+    good = audio_seconds / 400.0  # per-render time at 400x real-time
     budget_t0 = time.perf_counter()
     for attempt in range(4):
         t_short = chain(n1)
         t_long = chain(n2)
         per = (t_long - t_short) / (n2 - n1)
         if per > 0.2 * t_short / n1:  # slope consistent with absolute time
-            per_render = min(per_render, per)
+            if per < per_render:
+                per_render = per
+                _BEST["rtf"] = audio_seconds / per
+                _BEST["per_render"] = per
+                _BEST["exact"] = True
         # hard time budget: never let retries push total runtime past what
         # a CI/driver invocation tolerates
         if per_render < good or time.perf_counter() - budget_t0 > 120.0:
@@ -128,24 +215,33 @@ def main() -> None:
         time.sleep(20)
     if not np.isfinite(per_render):
         per_render = max(per, t_long / n2)  # overhead-inclusive fallback
+        _BEST["rtf"] = audio_seconds / per_render
+        _BEST["per_render"] = per_render
 
-    audio_seconds = T / fs
-    rtf = audio_seconds / per_render
-    samples_per_sec_per_chip = C * T / per_render
+    # -- accuracy: one channel vs float64 golden convolution (cached) --
+    # call the dynamic-slot render directly: conv.process would pick the
+    # static-slot program (nsuper multiple of tail partitions) and eat its
+    # pathological compile
+    _BEST["stage"] = "snr"
+    conv.reset()
+    from bbcat_dsp_tpu.convolve import nonuniform_render
 
-    result = {
-        "metric": "rtf_64ch_32ktap_48kHz_1chip",
-        "value": round(float(rtf), 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(float(rtf) / 100.0, 3),
-        "snr_db_vs_golden": round(float(snr), 1),
-        "samples_per_sec_per_chip": int(samples_per_sec_per_chip),
-        "engine": "nonuniform_partitioned(B=512, ratio=8)",
-        "device": str(jax.devices()[0]),
-    }
+    _, y = nonuniform_render(conv.state, Hh, Ht, xd, _B, tail_slot0=None)
+    y0 = np.asarray(y[0])
+    ref0 = _golden_ref(x[0], irs[0])
+    _BEST["snr"] = 10.0 * np.log10(
+        np.sum(ref0**2) / np.sum((ref0 - y0) ** 2)
+    )
+
+    _BEST["stage"] = "done"
     signal.alarm(0)
-    print(json.dumps(result))
+    _emit()
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — any failure still yields a line
+        signal.alarm(0)
+        _emit(note=f"exception: {type(e).__name__}: {e}")
+        sys.exit(0)

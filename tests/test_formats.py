@@ -196,6 +196,70 @@ class TestTransferSamples:
         assert abs(d.mean() - true_val) < 0.05  # dithered mean ≈ true value
         assert abs(nd.mean() - true_val) > 0.2  # truncated mean is biased
 
+    def test_shaped_dither_highpasses_noise_floor(self):
+        """ShapedDitherer moves quantization noise out of the low band:
+        error-feedback shaping by (1 - H(z)) (ref: the stateful per-channel
+        extension point of Ditherer, src/SoundFormatConversions.h:39-54)."""
+        from bbcat_dsp_tpu.formats import ShapedDitherer
+
+        fs, n = 48000.0, 1 << 14
+        t = np.arange(n) / fs
+        x = (0.01 * np.sin(2 * np.pi * 997.0 * t)).astype(np.float32)
+        src = np.frombuffer(x.tobytes(), np.uint8).copy()
+
+        def quant_error(ditherer):
+            out = np.zeros(n * 2, np.uint8)
+            transfer_samples(src, F.FLOAT, False, 0, 1, out, F.INT16, False,
+                             0, 1, 1, n, ditherer=ditherer)
+            y = np.frombuffer(out.tobytes(), "<i2").astype(np.float64) / 2**15
+            return y - x.astype(np.float64)
+
+        e_tpdf = quant_error(TPDFDitherer(seed=3))
+        e_shape = quant_error(ShapedDitherer(seed=3))
+
+        w = np.hanning(n)
+        def band_power(e, f_lo, f_hi):
+            s = np.abs(np.fft.rfft(e * w)) ** 2
+            f = np.fft.rfftfreq(n, 1 / fs)
+            m = (f >= f_lo) & (f < f_hi)
+            # notch the sine bin region out of the estimate
+            m &= (f < 900.0) | (f > 1100.0)
+            return float(np.mean(s[m]))
+
+        lo_gain = 10 * np.log10(band_power(e_shape, 20.0, 3000.0)
+                                / band_power(e_tpdf, 20.0, 3000.0))
+        hi_gain = 10 * np.log10(band_power(e_shape, 18000.0, 24000.0)
+                                / band_power(e_tpdf, 18000.0, 24000.0))
+        assert lo_gain < -6.0   # audible band noise floor drops
+        assert hi_gain > 3.0    # ...traded for ultrasonic-side noise
+        # still unbiased and bounded
+        assert abs(e_shape.mean()) < 2.0**-17
+        assert np.max(np.abs(e_shape)) < 4.0 * 2.0**-15
+
+    def test_shaped_dither_streaming_matches_whole(self, rng):
+        """Per-channel feedback state carries across transfer_samples calls:
+        block-streaming == one whole-signal call, bit-exact, 2 channels."""
+        from bbcat_dsp_tpu.formats import ShapedDitherer
+
+        n, nch = 1024, 2
+        x = rng.uniform(-0.01, 0.01, (n, nch)).astype(np.float32)
+        src = np.frombuffer(x.tobytes(), np.uint8).copy()
+
+        whole = np.zeros(n * nch * 2, np.uint8)
+        transfer_samples(src, F.FLOAT, False, 0, nch, whole, F.INT16, False,
+                         0, nch, nch, n, ditherer=ShapedDitherer(seed=11))
+
+        streamed = np.zeros(n * nch * 2, np.uint8)
+        dit = ShapedDitherer(seed=11)
+        B = 256
+        for i in range(0, n, B):
+            transfer_samples(
+                src[i * nch * 4:(i + B) * nch * 4], F.FLOAT, False, 0, nch,
+                streamed[i * nch * 2:(i + B) * nch * 2], F.INT16, False,
+                0, nch, nch, B, ditherer=dit,
+            )
+        np.testing.assert_array_equal(whole, streamed)
+
 
 class TestDeviceOps:
     def test_device_matches_host_away_from_edge(self, rng):

@@ -121,4 +121,35 @@ def test_bench_watchdog_emits_parseable_line():
     line = r.stdout.strip().splitlines()[-1]
     out = json.loads(line)
     assert out["metric"] == "rtf_64ch_32ktap_48kHz_1chip"
-    assert out["value"] is None and "error" in out
+    # no measurement had completed -> null value, flagged approximate
+    assert out["value"] is None and out["approx"] is True and "note" in out
+
+
+def test_bench_watchdog_emits_best_so_far():
+    """If ANY timing completed before the stall, the watchdog must emit that
+    best-so-far lower bound (flagged approx), never a null value — a stalled
+    relay must not erase a real measurement (round-1 failure mode)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import signal, sys; sys.path.insert(0, %r); import bench; "
+        "bench._BEST.update(rtf=154.2, per_render=0.00332, snr=94.3,"
+        " stage='slope'); "
+        "signal.signal(signal.SIGALRM, bench._watchdog); signal.alarm(1); "
+        "signal.pause()" % root
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["value"] == 154.2
+    assert out["vs_baseline"] == 1.542
+    assert out["approx"] is True
+    assert out["snr_db_vs_golden"] == 94.3
+    assert "samples_per_sec_per_chip" in out
