@@ -15,8 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.dwfloat import dw_add, dw_from_f64, dw_mul
 from .biquad import FilterType, biquad_coeffs, cascade_response
 from .iir import (
+    DWCoeffs,
     biquad_apply,
     cascade_apply,
     modal_apply,
@@ -48,6 +50,12 @@ class BankState(NamedTuple):
     mul: jax.Array      # [S] shared interpolation controller (1 -> 0)
     dec: jax.Array      # [S] controller decrement per sample
     w: jax.Array        # [S, C, 2] DF2T w registers
+    # float32 residuals of the float64 designs (double-word lo planes).
+    # The reference interpolates DOUBLE coefficients per sample
+    # (ref: src/BiQuad.cpp:379-395); carrying hi+lo pairs lets the
+    # parallel assoc_dw ramp engine reproduce that without a float64 ALU.
+    targets_lo: jax.Array  # [S, 5]
+    origins_lo: jax.Array  # [S, 5]
 
 
 def bank_init(nstages: int, nchannels: int, dtype=jnp.float32) -> BankState:
@@ -60,6 +68,8 @@ def bank_init(nstages: int, nchannels: int, dtype=jnp.float32) -> BankState:
         mul=jnp.zeros((nstages,), dtype),
         dec=jnp.zeros((nstages,), dtype),
         w=jnp.zeros((nstages, nchannels, 2), dtype),
+        targets_lo=jnp.zeros_like(flat),
+        origins_lo=jnp.zeros_like(flat),
     )
 
 
@@ -77,21 +87,29 @@ def bank_set_stage(
     *current effective* coefficients so retargeting mid-ramp is seamless.
     """
     dtype = state.targets.dtype
-    coeffs = jnp.asarray(coeffs, dtype)
-    current = state.targets[stage] - state.mul[stage] * (
-        state.targets[stage] - state.origins[stage]
-    )
+    # split the (typically float64 host) design into double-word planes so
+    # ramps can reproduce the reference's double-precision interpolation
+    chi, clo = dw_from_f64(np.asarray(coeffs, np.float64), dtype)
+    # current effective coefficients in double-word (mul/dec are exact f32)
+    m = state.mul[stage]
+    dh, dl = dw_add(state.targets[stage], state.targets_lo[stage],
+                    -state.origins[stage], -state.origins_lo[stage])
+    mh, ml = dw_mul(m, jnp.zeros_like(m), dh, dl)
+    curh, curl = dw_add(state.targets[stage], state.targets_lo[stage],
+                        -mh, -ml)
     if interp_samples > 0:
         mul, dec = 1.0, 1.0 / float(interp_samples)
-        origin = current
+        origin, origin_lo = curh, curl
     else:
         mul, dec = 0.0, 0.0
-        origin = coeffs
+        origin, origin_lo = chi, clo
     return state._replace(
-        targets=state.targets.at[stage].set(coeffs),
+        targets=state.targets.at[stage].set(chi),
         origins=state.origins.at[stage].set(origin),
         mul=state.mul.at[stage].set(jnp.asarray(mul, dtype)),
         dec=state.dec.at[stage].set(jnp.asarray(dec, dtype)),
+        targets_lo=state.targets_lo.at[stage].set(clo),
+        origins_lo=state.origins_lo.at[stage].set(origin_lo),
     )
 
 
@@ -109,19 +127,58 @@ def _bank_trajectories(state: BankState, nframes: int):
     return coeffs, new_mul
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _bank_trajectories_dw(state: BankState, nframes: int):
+    """Double-word ``[S, T, 5]`` trajectories: reproduces the reference's
+    per-sample interpolation of DOUBLE coefficients
+    (ref: src/BiQuad.cpp:379-395) with hi+lo float32 planes throughout."""
+    from ..utils.dwfloat import two_prod
+
+    z5 = jnp.zeros_like(state.targets)
+    dh, dl = dw_add(state.targets, state.targets_lo,
+                    -state.origins, -state.origins_lo)
+    n = jnp.arange(nframes, dtype=state.targets.dtype)
+    # mul_n = mul - dec*n, exactly: dec, n are exact f32 (n < 2^24)
+    ph, pl = two_prod(state.dec[:, None], n[None, :])
+    mh, ml = dw_add(state.mul[:, None], jnp.zeros_like(ph), -ph, -pl)
+    landed = mh <= 0.0  # clamp: max(mul_n, 0)  [S, T]
+    mh = jnp.where(landed, 0.0, mh)
+    ml = jnp.where(landed, 0.0, ml)
+    th, tl = dw_mul(mh[..., None], ml[..., None],
+                    dh[:, None, :], dl[:, None, :])
+    ch, cl = dw_add(state.targets[:, None, :], state.targets_lo[:, None, :],
+                    -th, -tl)
+    new_mul = jnp.maximum(state.mul - state.dec * nframes, 0.0)
+    return DWCoeffs(ch, cl), new_mul
+
+
 def bank_process(
     state: BankState, x: jax.Array, engine: str = "scan"
 ) -> tuple[BankState, jax.Array]:
     """Process ``x[C, T]`` through all stages, stage-serial channel-parallel
     (ref: src/BiQuad.cpp:639-662), with per-sample coefficient interpolation
-    folded into the scan (ref: src/BiQuad.cpp:473-494)."""
+    folded into the scan (ref: src/BiQuad.cpp:473-494).
+
+    ``engine="assoc_dw"`` runs the parallel double-word scan — both faster
+    (O(log T) depth) and closer to the reference's double-precision ramp
+    than the sequential float32 scan (docs/PERFORMANCE.md §ramps).
+    """
     T = x.shape[-1]
-    coeffs, new_mul = _bank_trajectories(state, T)
+    if engine == "assoc_dw":
+        coeffs, new_mul = _bank_trajectories_dw(state, T)
+        stage_coeffs = [
+            DWCoeffs(coeffs.hi[s][None], coeffs.lo[s][None])
+            for s in range(state.targets.shape[0])
+        ]
+    else:
+        coeffs, new_mul = _bank_trajectories(state, T)
+        stage_coeffs = [coeffs[s][None]
+                        for s in range(state.targets.shape[0])]
     y = x
     new_w = []
     for s in range(state.targets.shape[0]):
         # [1, T, 5] broadcasts the stage coefficients over channels
-        y, w = biquad_apply(y, coeffs[s][None], state.w[s], engine=engine)
+        y, w = biquad_apply(y, stage_coeffs[s], state.w[s], engine=engine)
         new_w.append(w)
     return state._replace(mul=new_mul, w=jnp.stack(new_w)), y
 
@@ -131,15 +188,16 @@ class BiQuadFilterBank:
     shared across channels (ref: src/BiQuad.h:247-348).
 
     Engine policy (see :mod:`bbcat_dsp_tpu.filters.iir` module doc): while a
-    coefficient ramp is active the bank runs the sequential DF2T scan with
-    per-sample interpolated coefficients (exact reference semantics,
-    ref: src/BiQuad.cpp:473-494); once all ramps have landed, the DF2T
-    w-registers are converted exactly into the modal realization
-    (:func:`modal_from_df2t`) and steady-state blocks run the parallel
-    high-precision modal engine.
+    coefficient ramp is active the bank runs the parallel double-word scan
+    (``assoc_dw``) over the per-sample interpolated double-word coefficient
+    trajectory — matching the reference's double-precision interpolated tick
+    (ref: src/BiQuad.cpp:473-494) to ~148 dB while staying O(log T) depth;
+    once all ramps have landed, the DF2T w-registers are converted exactly
+    into the modal realization (:func:`modal_from_df2t`) and steady-state
+    blocks run the parallel high-precision modal engine.
     """
 
-    def __init__(self, nstages: int, nchannels: int, engine: str = "scan",
+    def __init__(self, nstages: int, nchannels: int, engine: str = "assoc_dw",
                  dtype=jnp.float32, fs: float = 48000.0):
         self.fs = fs
         self.engine = engine  # engine used DURING ramps

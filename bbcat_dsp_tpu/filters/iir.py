@@ -61,9 +61,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.dwfloat import dw_add, dw_collapse, dw_from_f64, dw_mul
+
 __all__ = [
     "biquad_ssm",
     "biquad_apply",
+    "DWCoeffs",
     "cascade_apply",
     "interp_trajectory",
     "ModalParams",
@@ -423,6 +426,49 @@ def _apply_scan(x, coeffs, state, time_varying):
     return jnp.moveaxis(ys, 0, -1), state
 
 
+def _coef_planes(coeffs, time_varying):
+    """Five ``[..., T]`` (time-varying) or ``[..., 1]`` (static) coefficient
+    planes, time on the minor axis, right-alignable against ``x[..., T]``."""
+    if time_varying:
+        return tuple(coeffs[..., k] for k in range(5))
+    return tuple(coeffs[..., k][..., None] for k in range(5))
+
+
+def _chunk_scan(elem, identity, compose, T, K):
+    """Two-level scan scaffold, time on the MINOR axis.
+
+    Pads ``elem`` planes ``[..., T]`` to a multiple of ``K`` with
+    ``identity``, reshapes to ``[..., nc, K]`` and associative-scans within
+    chunks.  Returns ``(scanned, totals)`` where ``totals`` are the
+    ``[..., nc]`` whole-chunk maps.  Time sits on the lane (minor) axis
+    throughout so every compose runs at full VPU occupancy — with time on a
+    major axis the same scan measures ~13x slower (docs/PERFORMANCE.md).
+    """
+    pad = (-T) % K
+    if pad:
+        elem = tuple(
+            jnp.concatenate(
+                [e, jnp.broadcast_to(jnp.asarray(i, e.dtype),
+                                     e.shape[:-1] + (pad,))], -1)
+            for e, i in zip(elem, identity)
+        )
+    nc = (T + pad) // K
+    batch = elem[0].shape[:-1]
+    chunked = tuple(e.reshape(batch + (nc, K)) for e in elem)
+    scanned = jax.lax.associative_scan(compose, chunked, axis=-1)
+    totals = tuple(s[..., -1] for s in scanned)
+    return scanned, totals, nc
+
+
+def _outer_seq(totals, carry0, step):
+    """Sequential chunk-to-chunk state propagation: scan ``step`` over the
+    ``[..., nc]`` totals (moved to the leading axis), returning the list of
+    per-chunk INCOMING states, each ``[..., nc]``."""
+    tot_lead = tuple(jnp.moveaxis(t, -1, 0) for t in totals)
+    _, sins = jax.lax.scan(step, carry0, tot_lead)
+    return tuple(jnp.moveaxis(s, 0, -1) for s in sins)
+
+
 def _apply_assoc(x, coeffs, state, time_varying):
     """Parallel engine: associative scan over affine maps (O(log T) depth).
 
@@ -430,15 +476,21 @@ def _apply_assoc(x, coeffs, state, time_varying):
     NOT einsum/dot — so on TPU it runs entirely on the VPU in float32.
     (Tiny matmuls would be routed to the MXU, whose default bf16 operand
     precision caps SNR near 30 dB.)
+
+    Hierarchical two-level structure for float32 robustness: the associative
+    scan runs within chunks of K samples (error ~ K*eps), and chunk-to-chunk
+    state propagates through a short sequential lax.scan (error like the
+    sequential engine).  A flat full-length scan would accumulate error over
+    products of thousands of non-normal matrices.  Measured on TPU v5e
+    (C=64, T=4096): 0.13 ms vs the sequential engine's 1.96 ms (15x).
     """
     T = x.shape[-1]
-    b0, b1, b2, a1, a2 = _coef_t(coeffs, T, time_varying, x.ndim - 1)
-    xt = jnp.moveaxis(x, -1, 0)
+    b0, b1, b2, a1, a2 = _coef_planes(coeffs, time_varying)
     # s[n] = A s[n-1] + B x[n];  A = [[-a1, 1], [-a2, 0]],
     # B = [b1 - a1*b0, b2 - a2*b0]
-    v1 = (b1 - a1 * b0) * xt
-    v2 = (b2 - a2 * b0) * xt
-    full = v1.shape  # [T, *batch] — all scan elements must share this shape
+    v1 = (b1 - a1 * b0) * x
+    v2 = (b2 - a2 * b0) * x
+    full = v1.shape
     elem = (
         jnp.broadcast_to(-a1, full),
         jnp.broadcast_to(jnp.ones_like(a1), full),
@@ -461,25 +513,9 @@ def _apply_assoc(x, coeffs, state, time_varying):
             g21 * fv1 + g22 * fv2 + gv2,
         )
 
-    # Hierarchical two-level scan for float32 robustness: the associative
-    # scan runs within chunks of K samples (error ~ K*eps), and chunk-to-
-    # chunk state propagates through a short sequential lax.scan (error like
-    # the sequential engine).  A flat full-length scan would accumulate
-    # error over products of thousands of non-normal matrices.
-    K = min(64, T)
-    pad = (-T) % K
-    if pad:
-        ident = (
-            jnp.ones_like(elem[0][:pad]), jnp.zeros_like(elem[0][:pad]),
-            jnp.zeros_like(elem[0][:pad]), jnp.ones_like(elem[0][:pad]),
-            jnp.zeros_like(elem[0][:pad]), jnp.zeros_like(elem[0][:pad]),
-        )
-        elem = tuple(jnp.concatenate([e, i], 0) for e, i in zip(elem, ident))
-    nc = (T + pad) // K
-    batch = elem[0].shape[1:]
-    chunked = tuple(e.reshape((nc, K) + batch) for e in elem)
-    c11, c12, c21, c22, cv1, cv2 = jax.lax.associative_scan(
-        compose, chunked, axis=1
+    K = min(128, T)
+    (c11, c12, c21, c22, cv1, cv2), totals, nc = _chunk_scan(
+        elem, (1.0, 0.0, 0.0, 1.0, 0.0, 0.0), compose, T, K
     )
 
     def outer(carry, tot):
@@ -490,30 +526,160 @@ def _apply_assoc(x, coeffs, state, time_varying):
             carry,
         )
 
-    totals = (c11[:, -1], c12[:, -1], c21[:, -1], c22[:, -1],
-              cv1[:, -1], cv2[:, -1])
-    s0_1, s0_2 = state[..., 0], state[..., 1]
-    (_, _), (sin1, sin2) = jax.lax.scan(outer, (s0_1, s0_2), totals)
+    batch = full[:-1]
+    s0_1 = jnp.broadcast_to(state[..., 0], batch)
+    s0_2 = jnp.broadcast_to(state[..., 1], batch)
+    sin1, sin2 = _outer_seq(totals, (s0_1, s0_2), outer)
     # s[n] within chunk m relative to that chunk's incoming state
-    s1 = c11 * sin1[:, None] + c12 * sin2[:, None] + cv1
-    s2 = c21 * sin1[:, None] + c22 * sin2[:, None] + cv2
-    w0_prev_in = jnp.concatenate([sin1[:, None], s1[:, :-1]], axis=1)
-    w0_prev = w0_prev_in.reshape((nc * K,) + batch)[:T]
-    s1f = s1.reshape((nc * K,) + batch)
-    s2f = s2.reshape((nc * K,) + batch)
-    y = b0 * xt + w0_prev
-    new_state = jnp.stack([s1f[T - 1], s2f[T - 1]], axis=-1)
-    return jnp.moveaxis(y, 0, -1), new_state
+    s1 = c11 * sin1[..., None] + c12 * sin2[..., None] + cv1
+    s2 = c21 * sin1[..., None] + c22 * sin2[..., None] + cv2
+    w0_prev = jnp.concatenate(
+        [sin1[..., None], s1[..., :-1]], -1).reshape(batch + (nc * K,))[..., :T]
+    s1f = s1.reshape(batch + (nc * K,))
+    s2f = s2.reshape(batch + (nc * K,))
+    y = b0 * x + w0_prev
+    new_state = jnp.stack([s1f[..., T - 1], s2f[..., T - 1]], axis=-1)
+    return y, new_state
+
+
+def _compose_dw(f, g):
+    """Double-word composition of affine 2x2 maps (g ∘ f), 12 hi/lo planes.
+
+    Element-wise double-word arithmetic keeps ~49 effective mantissa bits
+    through the products of non-normal companion matrices — the parallel
+    analogue of the reference's double-precision DF2T state
+    (ref: src/BiQuad.h:200-240)."""
+    (f11h, f11l, f12h, f12l, f21h, f21l, f22h, f22l,
+     fv1h, fv1l, fv2h, fv2l) = f
+    (g11h, g11l, g12h, g12l, g21h, g21l, g22h, g22l,
+     gv1h, gv1l, gv2h, gv2l) = g
+    r11 = dw_add(*dw_mul(g11h, g11l, f11h, f11l),
+                 *dw_mul(g12h, g12l, f21h, f21l))
+    r12 = dw_add(*dw_mul(g11h, g11l, f12h, f12l),
+                 *dw_mul(g12h, g12l, f22h, f22l))
+    r21 = dw_add(*dw_mul(g21h, g21l, f11h, f11l),
+                 *dw_mul(g22h, g22l, f21h, f21l))
+    r22 = dw_add(*dw_mul(g21h, g21l, f12h, f12l),
+                 *dw_mul(g22h, g22l, f22h, f22l))
+    rv1 = dw_add(*dw_add(*dw_mul(g11h, g11l, fv1h, fv1l),
+                         *dw_mul(g12h, g12l, fv2h, fv2l)), gv1h, gv1l)
+    rv2 = dw_add(*dw_add(*dw_mul(g21h, g21l, fv1h, fv1l),
+                         *dw_mul(g22h, g22l, fv2h, fv2l)), gv2h, gv2l)
+    return r11 + r12 + r21 + r22 + rv1 + rv2
+
+
+def _apply_assoc_dw(x, chi, clo, state, K=None):
+    """Double-word parallel engine for per-sample time-varying coefficients.
+
+    Takes the coefficient trajectory as double-word planes ``chi``/``clo``
+    (``[..., T, 5]`` each, split from the float64 design with
+    :func:`~bbcat_dsp_tpu.utils.dwfloat.dw_from_f64`) and runs the
+    companion-form scan entirely in double-word float32.  This reproduces
+    the reference's double-coefficient / double-state interpolated tick
+    (ref: src/BiQuad.cpp:473-494) to ~148 dB SNR even for poles within
+    1e-4 of the unit circle, where plain float32 — sequential OR parallel —
+    is 50+ dB short because rounding the coefficients alone moves the poles
+    audibly.  Measured on TPU v5e (C=64, T=4096): 0.28 ms vs 1.96 ms for
+    the sequential scan (7x) at K=64.
+
+    ``state`` is the standard float32 ``[..., 2]`` w-register pair; one
+    float32 rounding of the *state value* per block boundary is harmless
+    (it is not amplified — unlike coefficient rounding).
+    """
+    T = x.shape[-1]
+    b0h, b1h, b2h, a1h, a2h = _coef_planes(chi, True)
+    b0l, b1l, b2l, a1l, a2l = _coef_planes(clo, True)
+    z = jnp.zeros_like(x)
+    # v1 = (b1 - a1*b0)*x, v2 = (b2 - a2*b0)*x in double-word
+    t1h, t1l = dw_mul(a1h, a1l, b0h, b0l)
+    d1h, d1l = dw_add(b1h, b1l, -t1h, -t1l)
+    t2h, t2l = dw_mul(a2h, a2l, b0h, b0l)
+    d2h, d2l = dw_add(b2h, b2l, -t2h, -t2l)
+    v1h, v1l = dw_mul(d1h, d1l, x, z)
+    v2h, v2l = dw_mul(d2h, d2l, x, z)
+    full = v1h.shape
+    bc = lambda a: jnp.broadcast_to(a, full)  # noqa: E731
+    elem = (bc(-a1h), bc(-a1l), bc(jnp.ones_like(a1h)), bc(z),
+            bc(-a2h), bc(-a2l), bc(z), bc(z),
+            bc(v1h), bc(v1l), bc(v2h), bc(v2l))
+
+    if K is None:
+        # XLA:CPU's fusion emitter silently degrades the error-free
+        # transforms once the fused scan graph grows past ~3 levels
+        # (`--xla_disable_hlo_passes=fusion` restores exactness; barriers
+        # do NOT).  TPU/Mosaic preserves them at any size.  Small chunks
+        # keep CPU jit exact; K=64 is the measured TPU sweet spot.
+        K = 64 if jax.default_backend() == "tpu" else 8
+    K = min(K, T)
+    # identity map A = I, v = 0 in the plane order
+    # (a11h,a11l, a12h,a12l, a21h,a21l, a22h,a22l, v1h,v1l, v2h,v2l)
+    ident = (1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    scanned, totals, nc = _chunk_scan(elem, ident, _compose_dw, T, K)
+    (c11h, c11l, c12h, c12l, c21h, c21l, c22h, c22l,
+     cv1h, cv1l, cv2h, cv2l) = scanned
+
+    def outer(carry, tot):
+        s1h, s1l, s2h, s2l = carry
+        (t11h, t11l, t12h, t12l, t21h, t21l, t22h, t22l,
+         tv1h, tv1l, tv2h, tv2l) = tot
+        n1 = dw_add(*dw_add(*dw_mul(t11h, t11l, s1h, s1l),
+                            *dw_mul(t12h, t12l, s2h, s2l)), tv1h, tv1l)
+        n2 = dw_add(*dw_add(*dw_mul(t21h, t21l, s1h, s1l),
+                            *dw_mul(t22h, t22l, s2h, s2l)), tv2h, tv2l)
+        return (n1[0], n1[1], n2[0], n2[1]), (s1h, s1l, s2h, s2l)
+
+    batch = full[:-1]
+    zb = jnp.zeros(batch, x.dtype)
+    s0_1 = jnp.broadcast_to(state[..., 0], batch)
+    s0_2 = jnp.broadcast_to(state[..., 1], batch)
+    sin1h, sin1l, sin2h, sin2l = _outer_seq(
+        totals, (s0_1, zb, s0_2, zb), outer)
+    s1h, s1l = dw_add(*dw_add(
+        *dw_mul(c11h, c11l, sin1h[..., None], sin1l[..., None]),
+        *dw_mul(c12h, c12l, sin2h[..., None], sin2l[..., None])), cv1h, cv1l)
+    s2h, s2l = dw_add(*dw_add(
+        *dw_mul(c21h, c21l, sin1h[..., None], sin1l[..., None]),
+        *dw_mul(c22h, c22l, sin2h[..., None], sin2l[..., None])), cv2h, cv2l)
+    # keep w0 in double-word through the final add: for near-unit poles the
+    # w-state can be ~1e3x the output (b0*x and w0 nearly cancel), so
+    # collapsing it to single float32 here would cap SNR near 84 dB.
+    w0_prev_h = jnp.concatenate(
+        [sin1h[..., None], s1h[..., :-1]],
+        -1).reshape(batch + (nc * K,))[..., :T]
+    w0_prev_l = jnp.concatenate(
+        [sin1l[..., None], s1l[..., :-1]],
+        -1).reshape(batch + (nc * K,))[..., :T]
+    ybh, ybl = dw_mul(b0h, b0l, x, z)
+    y = dw_collapse(*dw_add(ybh, ybl, w0_prev_h, w0_prev_l))
+    s1f = (s1h + s1l).reshape(batch + (nc * K,))
+    s2f = (s2h + s2l).reshape(batch + (nc * K,))
+    new_state = jnp.stack([s1f[..., T - 1], s2f[..., T - 1]], axis=-1)
+    return y, new_state
+
+
+class DWCoeffs(NamedTuple):
+    """Double-word coefficient trajectory: ``hi + lo`` float32 planes of the
+    float64 per-sample coefficients (``[..., T, 5]`` each).  Built with
+    :func:`~bbcat_dsp_tpu.utils.dwfloat.dw_from_f64` or
+    :func:`~bbcat_dsp_tpu.filters.bank._bank_trajectories`."""
+
+    hi: jax.Array
+    lo: jax.Array
 
 
 @partial(jax.jit, static_argnames=("engine", "time_varying"))
 def _biquad_companion(x, coeffs, state, engine, time_varying):
+    chi = coeffs.hi if isinstance(coeffs, DWCoeffs) else coeffs
     if state is None:
         shape = jnp.broadcast_shapes(
             x.shape[:-1],
-            coeffs.shape[:-2] if time_varying else coeffs.shape[:-1],
+            chi.shape[:-2] if time_varying else chi.shape[:-1],
         )
         state = jnp.zeros(shape + (2,), x.dtype)
+    if engine == "assoc_dw":
+        return _apply_assoc_dw(x, chi, coeffs.lo, state)
+    if isinstance(coeffs, DWCoeffs):
+        coeffs = coeffs.hi  # plain engines use the rounded-to-f32 value
     if engine == "assoc":
         return _apply_assoc(x, coeffs, state, time_varying)
     if engine == "scan":
@@ -530,12 +696,14 @@ def biquad_apply(
     """Run one biquad over ``x[..., T]``.
 
     ``coeffs`` is ``[..., 5]`` (static), ``[..., T, 5]`` (per-sample,
-    time-varying — e.g. from :func:`interp_trajectory`), or a pre-factored
-    :class:`ModalParams`.  ``engine``:
+    time-varying — e.g. from :func:`interp_trajectory`), a pre-factored
+    :class:`ModalParams`, or a :class:`DWCoeffs` double-word trajectory.
+    ``engine``:
 
     * ``"auto"`` — modal for time-invariant host coefficients, companion
-      assoc otherwise (module docstring rationale).
-    * ``"modal"`` / ``"assoc"`` / ``"scan"`` — forced.
+      assoc otherwise (module docstring rationale); ``assoc_dw`` when given
+      :class:`DWCoeffs`.
+    * ``"modal"`` / ``"assoc"`` / ``"assoc_dw"`` / ``"scan"`` — forced.
 
     The state pytree is ``[..., 2]`` w-registers for companion engines
     (ref: src/BiQuad.h:240) or :class:`ModalState` for modal; streaming
@@ -545,7 +713,20 @@ def biquad_apply(
         if engine not in ("auto", "modal"):
             raise ValueError("ModalParams requires the modal engine")
         return modal_apply(x, coeffs, state)
+    if isinstance(coeffs, DWCoeffs):
+        tv = coeffs.hi.ndim == x.ndim + 1 and coeffs.hi.shape[-2] == x.shape[-1]
+        if not tv:
+            raise ValueError("DWCoeffs must be a [..., T, 5] trajectory")
+        if engine == "auto":
+            engine = "assoc_dw"
+        return _biquad_companion(x, coeffs, state, engine, True)
     time_varying = coeffs.ndim == x.ndim + 1 and coeffs.shape[-2] == x.shape[-1]
+    if engine == "assoc_dw":
+        if not time_varying:
+            raise ValueError("assoc_dw requires a [..., T, 5] trajectory")
+        # plain trajectory: lo = 0 (still gains the dw scan arithmetic)
+        return _biquad_companion(
+            x, DWCoeffs(coeffs, jnp.zeros_like(coeffs)), state, engine, True)
     if engine == "auto":
         if not time_varying and not isinstance(coeffs, jax.core.Tracer):
             engine = "modal"

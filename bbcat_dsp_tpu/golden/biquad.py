@@ -132,6 +132,7 @@ def biquad_process_interpolated(
     targets: np.ndarray,
     interp_samples: float,
     state=None,
+    sample_rounding: bool = False,
 ):
     """DF2T with per-sample shared-controller coefficient interpolation.
 
@@ -140,6 +141,13 @@ def biquad_process_interpolated(
     mul -= dec; current = target - mul*diff) + the static multichannel
     Process loop ordering (coeffs interpolate AFTER each frame,
     ref: src/BiQuad.cpp:473-494).
+
+    ``sample_rounding=True`` additionally models the reference's
+    ``Sample_t`` (float32) cast of ``y`` INSIDE the feedback path
+    (``Sample_t y = (Sample_t)(x*num0 + w[0]); w[0] = ... - y*den1 ...``,
+    ref: src/BiQuad.h:200-206) — for near-unit-circle poles that cast is a
+    ~95 dB self-noise floor in the reference's own output.  Default False
+    keeps the ideal double recurrence (what the TPU engines target).
     """
     x = np.asarray(x, np.float64)
     cur = np.asarray(current, np.float64).copy()
@@ -156,6 +164,8 @@ def biquad_process_interpolated(
         b0, b1, b2, a1, a2 = cur
         xn = x[n]
         yn = b0 * xn + w0
+        if sample_rounding:
+            yn = float(np.float32(yn))
         w0 = b1 * xn - a1 * yn + w1
         w1 = b2 * xn - a2 * yn
         y[n] = yn

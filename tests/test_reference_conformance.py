@@ -277,3 +277,71 @@ def test_fuzz_biquads_vs_compiled_reference(ref_dsp, rng):
         err = np.abs(y_ref - y_g.astype(np.float32)).max()
         scale = max(np.abs(y_ref).max(), 1e-9)
         assert err / scale < 1e-5, f"{t} f={freq} g={gain} bw={bw}"
+
+
+def test_dw_ramp_vs_compiled_reference_hard_filters(ref_dsp, rng):
+    """VERDICT r1 #5, hard-filter ramp conformance (C=64, T=4096,
+    near-unit-circle poles).  Three pinned facts:
+
+    1. The compiled reference casts y to float32 INSIDE its feedback path
+       (ref: src/BiQuad.h:200-206) — on these filters that is a ~95 dB
+       self-noise floor, so NO engine can match its output beyond that
+       without replicating the cast.  Our golden with
+       ``sample_rounding=True`` reproduces the cast and matches the
+       compiled reference >130 dB — we model its numerics exactly.
+    2. The parallel double-word engine matches the IDEAL double recurrence
+       (the semantics the reference's double coeffs/state aim for)
+       >140 dB — i.e. it is strictly MORE accurate than the reference.
+    3. It therefore matches the compiled reference right down to the
+       reference's own noise floor (>90 dB).
+    """
+    import jax.numpy as jnp
+
+    from bbcat_dsp_tpu import golden
+    from bbcat_dsp_tpu.golden.biquad import (
+        FilterType,
+        biquad_process_interpolated,
+    )
+    from bbcat_dsp_tpu.filters.iir import DWCoeffs, biquad_apply
+    from bbcat_dsp_tpu.utils.dwfloat import dw_from_f64
+
+    C, T = 64, 4096
+    x = rng.standard_normal((C, T)).astype(np.float32)
+    y_ref = np.zeros_like(x)
+    c0s = np.stack([golden.biquad_coeffs(FilterType.HPF12, 80.0 + 0.1 * c,
+                                         48000.0) for c in range(C)])
+    c1s = np.stack([golden.biquad_coeffs(FilterType.HPF12, 40.0 + 0.1 * c,
+                                         48000.0) for c in range(C)])
+    for c in range(C):
+        ref_dsp.ref_biquad_process_interp(
+            c0s[c].ctypes.data, c1s[c].ctypes.data, float(T),
+            x[c].ctypes.data, y_ref[c].ctypes.data, T)
+    ref64 = y_ref.astype(np.float64)
+
+    def snr(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return 10 * np.log10(np.sum(b ** 2) / np.sum((a - b) ** 2))
+
+    # (1) golden with the reference's Sample_t cast == compiled reference
+    g_cast = np.stack([
+        biquad_process_interpolated(x[c], c0s[c], c1s[c], float(T),
+                                    sample_rounding=True)[0]
+        for c in range(C)
+    ])
+    assert snr(g_cast, ref64) > 130.0
+
+    # (2) dw engine vs the ideal double recurrence
+    ideal = np.stack([
+        biquad_process_interpolated(x[c], c0s[c], c1s[c], float(T))[0]
+        for c in range(C)
+    ])
+    mul = np.maximum(1.0 - np.arange(T) / T, 0.0)
+    traj = c1s[:, None, :] - mul[None, :, None] * (c1s - c0s)[:, None, :]
+    hi, lo = dw_from_f64(traj)
+    y, _ = biquad_apply(jnp.asarray(x), DWCoeffs(hi, lo))
+    assert snr(y, ideal) > 140.0
+    # the reference itself is ~95 dB from the ideal here — we beat it
+    assert snr(y, ideal) > snr(ref64, ideal) + 20.0
+
+    # (3) and we sit on the reference's own noise floor
+    assert snr(y, ref64) > 90.0
