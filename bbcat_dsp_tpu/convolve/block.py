@@ -155,20 +155,25 @@ def _step_static_slot(state: ConvolverState, H: jax.Array, x: jax.Array,
                       slot: int):
     """:func:`convolver_step` with a compile-time queue slot — the circular
     rotation becomes static slices (no gather)."""
+    from ..ops_pallas_hook import maybe_rotated_mac
+
     B = x.shape[-1]
     P = state.queue.shape[1]
     xt = rfft_half_planes(x, 2 * B)
     s = jnp.asarray(half_window_signs(2 * B))
     X = state.prev + s * xt
     queue = state.queue.at[:, slot].set(X.astype(state.queue.dtype))
-    acc_r = jnp.zeros_like(X[0])
-    acc_i = jnp.zeros_like(X[0])
-    for p in range(P):
-        q = queue[:, (slot - p) % P]
-        h = H[:, p]
-        acc_r = acc_r + (q[0] * h[0] - q[1] * h[1])
-        acc_i = acc_i + (q[0] * h[1] + q[1] * h[0])
-    y = irfft_tail_planes(jnp.stack([acc_r, acc_i]), 2 * B).astype(x.dtype)
+    acc = maybe_rotated_mac(queue, H, slot)
+    if acc is None:
+        acc_r = jnp.zeros_like(X[0])
+        acc_i = jnp.zeros_like(X[0])
+        for p in range(P):
+            q = queue[:, (slot - p) % P]
+            h = H[:, p]
+            acc_r = acc_r + (q[0] * h[0] - q[1] * h[1])
+            acc_i = acc_i + (q[0] * h[1] + q[1] * h[0])
+        acc = jnp.stack([acc_r, acc_i])
+    y = irfft_tail_planes(acc, 2 * B).astype(x.dtype)
     return ConvolverState(queue, xt, state.step + 1), y
 
 

@@ -198,19 +198,24 @@ def _tail_step_static(tail: ConvolverState, H_tail, x, slot: int):
     B2 = x.shape[-1]
     from .fft import half_window_signs, irfft_tail_planes, rfft_half_planes
 
+    from ..ops_pallas_hook import maybe_rotated_mac
+
     xt = rfft_half_planes(x, 2 * B2)
     s = jnp.asarray(half_window_signs(2 * B2))
     X = tail.prev + s * xt
     P = tail.queue.shape[1]
     queue = tail.queue.at[:, slot].set(X.astype(tail.queue.dtype))
-    acc_r = jnp.zeros_like(X[0])
-    acc_i = jnp.zeros_like(X[0])
-    for p in range(P):
-        q = queue[:, (slot - p) % P]
-        h = H_tail[:, p]
-        acc_r = acc_r + (q[0] * h[0] - q[1] * h[1])
-        acc_i = acc_i + (q[0] * h[1] + q[1] * h[0])
-    y = irfft_tail_planes(jnp.stack([acc_r, acc_i]), 2 * B2).astype(x.dtype)
+    acc = maybe_rotated_mac(queue, H_tail, slot)
+    if acc is None:
+        acc_r = jnp.zeros_like(X[0])
+        acc_i = jnp.zeros_like(X[0])
+        for p in range(P):
+            q = queue[:, (slot - p) % P]
+            h = H_tail[:, p]
+            acc_r = acc_r + (q[0] * h[0] - q[1] * h[1])
+            acc_i = acc_i + (q[0] * h[1] + q[1] * h[0])
+        acc = jnp.stack([acc_r, acc_i])
+    y = irfft_tail_planes(acc, 2 * B2).astype(x.dtype)
     return ConvolverState(queue, xt, tail.step + 1), y
 
 

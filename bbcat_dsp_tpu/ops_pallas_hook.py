@@ -1,16 +1,68 @@
 """Late-bound hook connecting convolve to the optional Pallas kernels
-(avoids a convolve <-> ops import cycle)."""
+(avoids a convolve <-> ops import cycle).
+
+Policy (BBCAT_DSP_PALLAS_MAC):
+  "auto" (default) - use the Pallas MAC kernels where the hardware A/B
+      showed them winning (docs/PERFORMANCE.md "Pod-scale MAC"):  XLA's
+      fused slice-multiply-add chain degrades with the partition count
+      (measured v5e, F=4097: P=14/C=1024 7.7x slower, P=14/C=128 5.7x,
+      P=64/C=64/F=513 8.5x; only the few-partition tail P=6 broke even),
+      while the Pallas kernels read queue+H exactly once per call.
+  "1" - always use Pallas kernels.
+  "0" - never (pure XLA formulation).
+"""
 
 from __future__ import annotations
 
+import os
 
-def maybe_pallas_mac(xext, H, ratio):
+# auto-mode gates, from the v5e A/B sweep (docs/PERFORMANCE.md):
+# rotated MAC wins for P >= 8 at any C >= 16 measured; the head FIR wins
+# from C >= 64 (1.5x) and grows with C.  Both need whole channel tiles.
+_ROT_MIN_PARTS = 8
+_ROT_MIN_ELEMS = 2 * 1024 * 1024    # P*C*F per plane
+_HEAD_MIN_ELEMS = 512 * 1024        # P*C*F per plane
+
+
+def _mode() -> str:
+    return os.environ.get("BBCAT_DSP_PALLAS_MAC", "auto")
+
+
+def _interpret() -> bool:
+    """Non-TPU backends run the kernels through the Pallas interpreter."""
     import jax
 
-    from .ops.pallas.spectral_mac import head_mac_pallas, pallas_mac_enabled
+    return jax.default_backend() not in ("tpu",)
 
-    if not pallas_mac_enabled():
+
+def maybe_pallas_mac(xext, H, ratio):
+    """Head MAC hook: ``None`` -> caller runs the XLA formulation."""
+    mode = _mode()
+    if mode == "0":
         return None
-    # non-TPU backends run the kernel through the Pallas interpreter
-    interpret = jax.default_backend() != "tpu"
-    return head_mac_pallas(xext, H, ratio, interpret=interpret)
+    _, P, C, F = H.shape
+    if mode != "1" and (P * C * F < _HEAD_MIN_ELEMS or C < 64 or C % 8):
+        return None
+    if C % 8 == 0 and C >= 16:
+        from .ops.pallas.spectral_fir import head_mac_tiled_pallas
+
+        return head_mac_tiled_pallas(xext, H, ratio, interpret=_interpret())
+    from .ops.pallas.spectral_mac import head_mac_pallas
+
+    return head_mac_pallas(xext, H, ratio, interpret=_interpret())
+
+
+def maybe_rotated_mac(queue, H, slot: int):
+    """Static-cursor overlap-save MAC hook (uniform/tail engines):
+    ``None`` -> caller runs the XLA static-slice formulation."""
+    mode = _mode()
+    if mode == "0":
+        return None
+    _, P, C, F = H.shape
+    if C % 8 or C < 16:
+        return None
+    if mode != "1" and (P < _ROT_MIN_PARTS or P * C * F < _ROT_MIN_ELEMS):
+        return None
+    from .ops.pallas.spectral_fir import rotated_mac_pallas
+
+    return rotated_mac_pallas(queue, H, slot, interpret=_interpret())

@@ -190,10 +190,12 @@ def bench_config5():
     rng = np.random.default_rng(0)
     C, N, B, ratio = 1024, 65536, 512, 8
     SB = B * ratio
-    T = SB * 12  # nsuper = tail partition count -> static-slot tail path
     irs = (rng.standard_normal((C, N)) * np.exp(-np.arange(N) / 8000.0)
            ).astype(np.float32)
     conv = NonUniformConvolver(irs, block=B, ratio=ratio)
+    # nsuper must be a multiple of the tail partition count or the render
+    # silently falls back to the dynamic-slot (gather) path
+    T = SB * conv.tail_parts
     x = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32))
     box = {"state": conv.state}
 

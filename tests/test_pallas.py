@@ -16,6 +16,69 @@ def test_head_mac_pallas_matches_xla(rng):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_rotated_mac_pallas_matches_xla(rng):
+    """Channel-tiled static-cursor MAC == the static-slice loop, for every
+    cursor position (same accumulation order; tolerance covers FMA
+    contraction differences between the interpreter and numpy)."""
+    from bbcat_dsp_tpu.ops.pallas import rotated_mac_pallas
+
+    P, C, F = 5, 16, 65
+    queue = jnp.asarray(rng.standard_normal((2, P, C, F)).astype(np.float32))
+    H = jnp.asarray(rng.standard_normal((2, P, C, F)).astype(np.float32))
+    for slot in range(P):
+        acc_r = np.zeros((C, F), np.float32)
+        acc_i = np.zeros((C, F), np.float32)
+        q = np.asarray(queue)
+        h = np.asarray(H)
+        for p in range(P):
+            sl = (slot - p) % P
+            acc_r = acc_r + (q[0, sl] * h[0, p] - q[1, sl] * h[1, p])
+            acc_i = acc_i + (q[0, sl] * h[1, p] + q[1, sl] * h[0, p])
+        got = np.asarray(
+            rotated_mac_pallas(queue, H, slot, ct=8, interpret=True)
+        )
+        np.testing.assert_allclose(got[0], acc_r, atol=2e-5)
+        np.testing.assert_allclose(got[1], acc_i, atol=2e-5)
+
+
+def test_head_mac_tiled_pallas_matches_xla(rng):
+    from bbcat_dsp_tpu.ops.pallas import head_mac_tiled_pallas
+
+    P, ratio, C, F = 8, 4, 16, 129
+    xext = jnp.asarray(
+        rng.standard_normal((2, P + ratio, C, F)).astype(np.float32))
+    H = jnp.asarray(rng.standard_normal((2, P, C, F)).astype(np.float32))
+    a = np.asarray(_head_mac(xext, H, ratio))
+    b = np.asarray(head_mac_tiled_pallas(xext, H, ratio, ct=8, interpret=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_rotated_mac_hook_auto_threshold(rng, monkeypatch):
+    """auto mode routes the tail MAC through the Pallas kernel only above
+    the traffic-bound threshold; forced mode matches the XLA render."""
+    import bbcat_dsp_tpu.ops_pallas_hook as hook
+    from bbcat_dsp_tpu.convolve import BlockConvolver
+
+    C, B, N = 16, 32, 4 * 32
+    ir = rng.standard_normal((C, N)) * 0.3
+    x = rng.standard_normal((C, 8 * B)).astype(np.float32)
+
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_MAC", "0")
+    a = BlockConvolver(ir, block=B)
+    y_ref = np.asarray(a.process(jnp.asarray(x)))
+
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_MAC", "1")
+    b = BlockConvolver(ir, block=B)
+    y_pal = np.asarray(b.process(jnp.asarray(x)))
+    np.testing.assert_allclose(y_pal, y_ref, atol=1e-5)
+
+    # auto: tiny shape stays on XLA (hook returns None below threshold)
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_MAC", "auto")
+    assert hook.maybe_rotated_mac(
+        jnp.zeros((2, 4, 16, 65)), jnp.zeros((2, 4, 16, 65)), 0
+    ) is None
+
+
 def test_pallas_mac_hook_integration(rng, monkeypatch):
     """BBCAT_DSP_PALLAS_MAC=1 routes the non-uniform head MAC through the
     kernel (interpreted off-TPU) with identical results."""
