@@ -17,6 +17,7 @@ from .nonuniform import (
     NonUniformState,
     nonuniform_render,
     nonuniform_render_looped,
+    nonuniform_render_pinned,
 )
 from .offline import offline_convolve
 from .matrix import (
@@ -45,6 +46,7 @@ __all__ = [
     "NonUniformState",
     "nonuniform_render",
     "nonuniform_render_looped",
+    "nonuniform_render_pinned",
     "offline_convolve",
     "MatrixConvolver",
     "matrix_step",

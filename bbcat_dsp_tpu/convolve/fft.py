@@ -183,6 +183,87 @@ def _fft_c(xr: jax.Array, xi: jax.Array, n: int, prec=None):
     return zr, zi
 
 
+def _rfft_halfwin_large(x: jax.Array, n: int, prec=None) -> jax.Array:
+    """Four-step rFFT of ``[x, zeros]`` (``len(x) == n//2``) exploiting all
+    three rectangles: real input (no imaginary stage-1 matmuls), zero
+    second half (stage-1 contraction over n2/2 rows), and half-spectrum
+    output (stage-3 restricted to k1 <= n1/2).  ~2.7x fewer matmul FLOPs
+    than the generic complex four-step this replaces.
+
+    Index map (matches :func:`_fft_c`): input j = n2_idx*n1 + n1_idx (n1
+    fast) so the zero half is exactly columns n2_idx >= n2/2; output
+    k = n2*k1 + k2 (k1 slow) so k <= n/2 is exactly k1 <= n1/2.
+    """
+    n1, n2 = _balanced_factors(n)
+    if n1 % 2 or n2 % 2:
+        xr = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+        zr, zi = _fft_c(xr, jnp.zeros_like(xr), n, prec)
+        F = n // 2 + 1
+        return jnp.stack([zr[..., :F], zi[..., :F]], axis=0)
+    p = prec or _PREC
+    lead = x.shape[:-1]
+    F = n // 2 + 1
+    h2 = n2 // 2
+    # A[n1, n2] with only the first n2/2 columns nonzero
+    ar = x.reshape(lead + (h2, n1)).swapaxes(-1, -2)       # [.., n1, h2]
+    c2r, c2i = _cmats(n2)
+    yr = jnp.matmul(ar, jnp.asarray(c2r[:h2]), precision=p)
+    yi = jnp.matmul(ar, jnp.asarray(c2i[:h2]), precision=p)
+    twr, twi = _twiddle(n1, n2)
+    twr = jnp.asarray(twr)
+    twi = jnp.asarray(twi)
+    tr = yr * twr - yi * twi
+    ti = yr * twi + yi * twr
+    c1r, c1i = _cmats(n1)
+    k1 = n1 // 2 + 1
+    c1r = jnp.asarray(c1r[:, :k1])
+    c1i = jnp.asarray(c1i[:, :k1])
+    tr = tr.swapaxes(-1, -2)  # [.., n2(k2), n1]
+    ti = ti.swapaxes(-1, -2)
+    zr, zi = _cmatmul(tr, ti, c1r, c1i, prec)              # [.., k2, k1]
+    zr = zr.swapaxes(-1, -2).reshape(lead + (k1 * n2,))[..., :F]
+    zi = zi.swapaxes(-1, -2).reshape(lead + (k1 * n2,))[..., :F]
+    return jnp.stack([zr, zi], axis=0)
+
+
+def _irfft_tail_large(spec: jax.Array, n: int, prec=None) -> jax.Array:
+    """Four-step inverse rFFT returning ONLY the last ``n//2`` samples:
+    hermitian-extend the half spectrum, then run the conjugate-forward
+    four-step with stage 3 restricted to the tail outputs (k1 >= n1/2 —
+    exactly the last n/2 sample indices) and no imaginary output matmuls.
+    """
+    n1, n2 = _balanced_factors(n)
+    if n1 % 2 or n2 % 2:
+        return _dftmm_irfft(spec, n, prec)[..., n // 2:]
+    p = prec or _PREC
+    re, im = spec[0], spec[1]
+    body_r = re[..., 1:-1][..., ::-1]
+    body_i = im[..., 1:-1][..., ::-1]
+    fr = jnp.concatenate([re, body_r], axis=-1)
+    fi = jnp.concatenate([-im, body_i], axis=-1)  # conj for the inverse
+    lead = fr.shape[:-1]
+    ar = fr.reshape(lead + (n2, n1)).swapaxes(-1, -2)
+    ai = fi.reshape(lead + (n2, n1)).swapaxes(-1, -2)
+    c2r, c2i = _cmats(n2)
+    yr, yi = _cmatmul(ar, ai, jnp.asarray(c2r), jnp.asarray(c2i), prec)
+    twr, twi = _twiddle(n1, n2)
+    twr = jnp.asarray(twr)
+    twi = jnp.asarray(twi)
+    tr = yr * twr - yi * twi
+    ti = yr * twi + yi * twr
+    c1r, c1i = _cmats(n1)
+    h1 = n1 // 2
+    c1r = jnp.asarray(c1r[:, h1:])
+    c1i = jnp.asarray(c1i[:, h1:])
+    tr = tr.swapaxes(-1, -2)  # [.., k2, n1]
+    ti = ti.swapaxes(-1, -2)
+    # real part only (output of a hermitian inverse is real)
+    zr = (jnp.matmul(tr, c1r, precision=p)
+          - jnp.matmul(ti, c1i, precision=p))  # [.., k2, k1-h1]
+    zr = zr.swapaxes(-1, -2).reshape(lead + (n // 2,))
+    return zr / n
+
+
 def _dftmm_rfft(x: jax.Array, n: int, prec=None) -> jax.Array:
     T = x.shape[-1]
     if T < n:
@@ -272,6 +353,11 @@ def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None) -> jax.Ar
         re = jnp.matmul(x, jnp.asarray(cos[:h]), precision=_PREC)
         im = jnp.matmul(x, jnp.asarray(msin[:h]), precision=_PREC)
         return jnp.stack([re, im], axis=0)
+    if b == "dftmm":
+        T = x.shape[-1]
+        if T < n // 2:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n // 2 - T)])
+        return _rfft_halfwin_large(x[..., :n // 2], n)
     return _BACKENDS[b][0](x, n)
 
 
@@ -293,6 +379,8 @@ def irfft_tail_planes(spec: jax.Array, n: int, backend: str | None = None) -> ja
             jnp.matmul(spec[0], jnp.asarray(icos[:, h:]), precision=_PREC)
             + jnp.matmul(spec[1], jnp.asarray(isin[:, h:]), precision=_PREC)
         )
+    if b == "dftmm":
+        return _irfft_tail_large(spec, n)
     return _BACKENDS[b][1](spec, n)[..., n // 2:]
 
 

@@ -44,7 +44,12 @@ from .block import (
 )
 from .fft import half_window_signs, irfft_tail_planes, rfft_half_planes
 
-__all__ = ["NonUniformState", "NonUniformConvolver", "nonuniform_render"]
+__all__ = [
+    "NonUniformState",
+    "NonUniformConvolver",
+    "nonuniform_render",
+    "nonuniform_render_pinned",
+]
 
 
 class NonUniformState(NamedTuple):
@@ -108,6 +113,11 @@ def _head_mac(xext: jax.Array, H: jax.Array, ratio: int):
 
 def _head_step(xcarry, prev, H_head, x, B: int, ratio: int):
     """Batched head evaluation.  Returns (y_head [C, SB], xcarry', prev')."""
+    from ..ops_pallas_hook import maybe_fused_head
+
+    fused = maybe_fused_head(x, xcarry, prev, H_head, B)
+    if fused is not None:
+        return fused
     C, SB = x.shape
     Xnew, prev_xt = _head_spectra(prev, x, B, ratio)    # [2, ratio, C, F]
     xext = jnp.concatenate([xcarry, Xnew], axis=1)      # [2, P+ratio, C, F]
@@ -243,10 +253,22 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
     the tail's circular rotation costs ZERO gathers.  Otherwise falls back
     to the dynamic-slot step.
     """
+    from ..utils.layouts import default_layout
+
     C, T = x.shape
     B2 = state.pending.shape[-1]
     nsuper = T // B2
     Pt = state.tail.queue.shape[1]
+
+    # pin the big carries + IR spectra to row-major: the Pallas MACs
+    # constrain their operands to it, and without the pin jax-0.9 auto
+    # layouts relaid the full queue (~940 MB at pod scale) 3x per render
+    state = state._replace(
+        xcarry=default_layout(state.xcarry),
+        tail=state.tail._replace(queue=default_layout(state.tail.queue)),
+    )
+    H_head = default_layout(H_head)
+    H_tail = default_layout(H_tail)
 
     if tail_slot0 is not None and nsuper % Pt == 0:
         groups = jnp.moveaxis(
@@ -264,6 +286,10 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
             return st, jnp.concatenate(ys, axis=-1)
 
         state, ys = jax.lax.scan(gbody, state, groups)
+        state = state._replace(
+            xcarry=default_layout(state.xcarry),
+            tail=state.tail._replace(queue=default_layout(state.tail.queue)),
+        )
         return state, jnp.moveaxis(ys, 0, 1).reshape(C, T)
 
     blocks = jnp.moveaxis(x.reshape(C, nsuper, B2), 1, 0)
@@ -272,6 +298,10 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
         return _super_step(st, H_head, H_tail, xb, block)
 
     state, ys = jax.lax.scan(body, state, blocks)
+    state = state._replace(
+        xcarry=default_layout(state.xcarry),
+        tail=state.tail._replace(queue=default_layout(state.tail.queue)),
+    )
     return state, jnp.moveaxis(ys, 0, 1).reshape(C, T)
 
 
@@ -281,23 +311,75 @@ def nonuniform_render(state: NonUniformState, H_head, H_tail, x, block: int,
     return _render_impl(state, H_head, H_tail, x, block, tail_slot0)
 
 
-@partial(jax.jit, static_argnames=("block", "repeats", "tail_slot0"),
+_PINNED: dict = {}
+
+
+def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
+                             block: int, tail_slot0: int | None = None):
+    """:func:`nonuniform_render` with the jit ENTRY/EXIT device layouts
+    pinned to row-major.
+
+    jax-0.9 auto layouts let XLA propagate a DUS-preferred twisted layout
+    to the donated state and the IR-spectra parameters, while the Pallas
+    MAC kernels constrain their operands to row-major — each dispatch then
+    relays the full queue + H (~940 MB each at the pod config) at the
+    boundary.  Pinning removed 3 full-queue copies/render: 21.4x -> 23.3x
+    RT at config #5.  Falls back to the plain jit off-TPU or when the
+    arrays are sharded (pinning is per-device)."""
+    args = (state, H_head, H_tail, x)
+    try:
+        devs = x.devices()
+        if jax.default_backend() != "tpu" or len(devs) != 1:
+            raise ValueError
+        dev = next(iter(devs))
+        key = (
+            jax.tree.util.tree_structure(args),
+            tuple((a.shape, str(a.dtype)) for a in jax.tree.leaves(args)),
+            block, tail_slot0, dev.id,
+        )
+        fn = _PINNED.get(key)
+        if fn is None:
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            def fmt(a):
+                return Format(Layout(tuple(range(a.ndim))),
+                              SingleDeviceSharding(dev))
+
+            fn = jax.jit(
+                partial(_render_impl, block=block, tail_slot0=tail_slot0),
+                donate_argnums=(0,),
+                in_shardings=jax.tree.map(fmt, args),
+                out_shardings=jax.tree.map(fmt, (state, x)),
+            )
+            _PINNED[key] = fn
+        return fn(state, H_head, H_tail, x)
+    except Exception:  # pragma: no cover - fallback keeps semantics
+        return nonuniform_render(state, H_head, H_tail, x, block,
+                                 tail_slot0=tail_slot0)
+
+
+@partial(jax.jit, static_argnames=("block", "tail_slot0"),
          donate_argnums=(0,))
-def nonuniform_render_looped(state: NonUniformState, H_head, H_tail, x,
-                             block: int, repeats: int,
+def nonuniform_render_looped(state: NonUniformState, H_head, H_tail, xs,
+                             block: int,
                              tail_slot0: int | None = None):
-    """Process the same signal ``repeats`` times back-to-back in ONE device
-    program (state chained; only per-repeat output tails returned).
+    """Render a STACK of signals ``xs [R, C, T]`` back-to-back in ONE device
+    program (state chained; only per-render output tails returned).
 
     Exists for honest throughput measurement through a high-latency
-    dispatch path: one dispatch covers ``repeats`` renders, so timing
-    slopes over ``repeats`` measure pure device time."""
+    dispatch path: one dispatch covers ``R`` renders, so timing slopes over
+    ``R`` measure pure device time.  The renders must be over DISTINCT
+    signals — scanning the same ``x`` repeatedly lets XLA hoist every
+    input-dependent stage (the forward DFTs of the whole signal) out of
+    the loop and the "throughput" stops corresponding to streaming work
+    (measured 7x inflation at the flagship config)."""
 
-    def body(st, _):
+    def body(st, x):
         st, y = _render_impl(st, H_head, H_tail, x, block, tail_slot0)
         return st, y[:, -1]
 
-    state, tails = jax.lax.scan(body, state, None, length=repeats)
+    state, tails = jax.lax.scan(body, state, xs)
     return state, tails
 
 
@@ -399,8 +481,8 @@ class NonUniformConvolver:
             self._tail_steps % self.tail_parts
             if nsuper % self.tail_parts == 0 else None
         )
-        self.state, y = nonuniform_render(
-            self.state, self.H_head, self.H_tail, x, self.block,
+        self.state, y = nonuniform_render_pinned(
+            self.state, self.H_head, self.H_tail, jnp.asarray(x), self.block,
             tail_slot0=slot0,
         )
         self._tail_steps += nsuper

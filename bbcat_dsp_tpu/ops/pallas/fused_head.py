@@ -1,0 +1,190 @@
+"""Pallas TPU super-kernel: fused rFFT -> spectral MAC -> irFFT head stage.
+
+One kernel runs the ENTIRE batched head of the non-uniform convolver
+(:func:`bbcat_dsp_tpu.convolve.nonuniform._head_step`) for a channel tile:
+
+  1. half-window forward DFTs of the ``R`` small blocks (MXU matmuls
+     against the cos/-sin matrices — the TPU backend has no fft/complex),
+  2. window assembly via the shift theorem
+     (``W_i = Xhalf_{i-1} + (-1)^k Xhalf_i``),
+  3. the P-partition frequency-domain FIR MAC over a VMEM-resident
+     window-history scratch,
+  4. tail-only inverse DFTs (overlap-save keeps only the last B samples).
+
+Intermediate spectra NEVER touch HBM: per super-block the kernel reads
+x [C,SB] + xcarry [2,P,C,F] + H [2,P,C,F] and writes y [C,SB] +
+xcarry' [2,P,C,F] + prev' [2,C,F] — the streaming-state minimum.  The
+unfused path materialises the window spectra, the xext concatenation, the
+MAC accumulator and the carry slice between XLA kernels (~2.3x the bytes at
+config-#5 scale; docs/PERFORMANCE.md "Pod-scale MAC").
+
+DFT matmuls follow the fft module's precision setting
+(:func:`bbcat_dsp_tpu.convolve.fft.set_precision` — HIGH by default,
+matching the unfused path): at C=1024 the four [128,512]x[512,513]
+matmuls per tile are compute-bound, and HIGHEST's extra MXU passes cost
+~0.3 ms/super-block for accuracy the 90 dB contract doesn't need.
+
+Capability lineage: documented-absent BlockConvolver/Convolver hot path
+(ref: README:38-44); SURVEY.md §7 hard part #2 (fused spectral kernel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_head_pallas"]
+
+def _dot(a, b):
+    from ...convolve import fft as _fft
+
+    if _fft._PREC == jax.lax.Precision.HIGHEST:
+        return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    # Mosaic only lowers DEFAULT/HIGHEST dot precision; reproduce HIGH
+    # (XLA's 3-pass bf16 operand splitting) manually — ~2x cheaper than
+    # HIGHEST on the MXU at the same ~1.2e-5 operand error
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(ah, bh, preferred_element_type=jnp.float32)
+            + jnp.dot(ah, bl, preferred_element_type=jnp.float32)
+            + jnp.dot(al, bh, preferred_element_type=jnp.float32))
+
+
+def _kernel(P: int, R: int, B: int, F: int, ct: int,
+            x_ref, xc_ref, prev_ref, h_ref,
+            ch_ref, sh_ref, ic_ref, is_ref, sg_ref,
+            y_ref, xco_ref, po_ref):
+    # 1. half-window forward DFTs, all R blocks in one [R*ct, B] matmul
+    xstk = jnp.concatenate(
+        [x_ref[:, i * B:(i + 1) * B] for i in range(R)], axis=0
+    )  # [R*ct, B]
+    hre = _dot(xstk, ch_ref[...]).reshape(R, ct, F)
+    him = _dot(xstk, sh_ref[...]).reshape(R, ct, F)
+
+    # 2. window assembly: W_i = ext_i + s * ext_{i+1}, ext = [prev, h0..h{R-1}]
+    sg = sg_ref[0]  # [F]
+    wre = jnp.concatenate(
+        [(prev_ref[0] if i == 0 else hre[i - 1])[None] + sg * hre[i][None]
+         for i in range(R)], axis=0)  # [R, ct, F]
+    wim = jnp.concatenate(
+        [(prev_ref[1] if i == 0 else him[i - 1])[None] + sg * him[i][None]
+         for i in range(R)], axis=0)
+
+    # 3. P-partition MAC over the virtual [carry | new] window history —
+    #    per partition the R-row sliding window is assembled from static
+    #    slices of the carry ref and the new-window values (no scratch)
+    accr = jnp.zeros((R, ct, F), jnp.float32)
+    acci = jnp.zeros((R, ct, F), jnp.float32)
+    for p in range(P):
+        if p == 0:
+            xr, xi = wre, wim
+        elif p < R:
+            xr = jnp.concatenate([xc_ref[0, P - p:P], wre[:R - p]], axis=0)
+            xi = jnp.concatenate([xc_ref[1, P - p:P], wim[:R - p]], axis=0)
+        else:
+            xr = xc_ref[0, P - p:P - p + R]
+            xi = xc_ref[1, P - p:P - p + R]
+        hr = h_ref[0, p]
+        hi = h_ref[1, p]
+        accr += xr * hr - xi * hi
+        acci += xr * hi + xi * hr
+
+    # 4. tail-only inverse DFTs, one [R*ct, F] matmul pair
+    ystk = (_dot(accr.reshape(R * ct, F), ic_ref[...])
+            + _dot(acci.reshape(R * ct, F), is_ref[...]))  # [R*ct, B]
+    for i in range(R):
+        y_ref[:, i * B:(i + 1) * B] = ystk[i * ct:(i + 1) * ct]
+
+    # 5. streaming state: last P windows = [carry[R:] | new], last half spec
+    xco_ref[0, :P - R] = xc_ref[0, R:]
+    xco_ref[1, :P - R] = xc_ref[1, R:]
+    xco_ref[0, P - R:] = wre
+    xco_ref[1, P - R:] = wim
+    po_ref[0] = hre[R - 1]
+    po_ref[1] = him[R - 1]
+
+
+@partial(jax.jit, static_argnames=("block", "ct", "interpret"))
+def fused_head_pallas(
+    x: jax.Array,        # [C, R*B]
+    xcarry: jax.Array,   # [2, P, C, F]
+    prev: jax.Array,     # [2, C, F]
+    H: jax.Array,        # [2, P, C, F]
+    block: int,
+    ct: int | None = None,
+    interpret: bool = False,
+):
+    """Fused head step: returns ``(y [C, R*B], xcarry' [2,P,C,F],
+    prev' [2,C,F])`` — contract identical to the unfused
+    ``_head_spectra -> _head_mac -> irfft_tail_planes`` composition."""
+    from ...convolve.fft import _mats, half_window_signs
+
+    _, P, C, F = H.shape
+    B = block
+    R = x.shape[-1] // B
+    n = 2 * B
+    cos, msin, icos, isin = _mats(n)
+    ch = jnp.asarray(cos[:B])            # [B, F] half-window forward
+    sh = jnp.asarray(msin[:B])
+    ic = jnp.asarray(icos[:, B:])        # [F, B] tail-only inverse
+    is_ = jnp.asarray(isin[:, B:])
+    sg = jnp.asarray(half_window_signs(n))[None]  # [1, F]
+
+    if P < R:
+        raise ValueError("fused head requires P >= ratio (head_parts=2*ratio)")
+    if ct is None:
+        ct = C
+        # per-channel f32 elements resident per tile: carry in/out + H
+        # (6PF), new-window/half-spectra/accumulator stacks (~8RF), x/y,
+        # prev/po; streamed blocks are pipeline-double-buffered on top.
+        # Constants (DFT matrices, ~4.2 MB) are tile-independent and NOT
+        # in this budget — 7 MB here lands ~14-15 MB total, inside the
+        # 16 MB scoped-vmem limit with the compiler's own temporaries.
+        per_ch = (6 * P + 8 * R + 8) * F + 4 * R * B
+        while ct > 8 and (ct * per_ch * 4 > (7 << 20) or C % ct):
+            ct //= 2
+
+    grid = (C // ct,)
+    kernel = partial(_kernel, P, R, B, F, ct)
+    y, xco, po = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ct, R * B), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, P, ct, F), lambda c: (0, 0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ct, F), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, P, ct, F), lambda c: (0, 0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, F), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, F), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, B), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, B), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((ct, R * B), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, P, ct, F), lambda c: (0, 0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ct, F), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, R * B), jnp.float32),
+            jax.ShapeDtypeStruct((2, P, C, F), jnp.float32),
+            jax.ShapeDtypeStruct((2, C, F), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, xcarry, prev, H, ch, sh, ic, is_, sg)
+    return y, xco, po

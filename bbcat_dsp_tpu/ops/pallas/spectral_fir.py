@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["rotated_mac_pallas", "head_mac_tiled_pallas"]
 
 
-def _pick_ct(C: int, per_channel_bytes: int, budget: int = 4 << 20) -> int:
+def _pick_ct(C: int, per_channel_bytes: int, budget: int = 7 << 20) -> int:
     """Largest channel tile (divisor of C, power-of-two-ish) whose working
     set stays under ``budget`` bytes (pipeline double-buffering doubles it
     again, so keep this well below the 16 MB VMEM)."""
@@ -140,8 +140,11 @@ def head_mac_tiled_pallas(
     with ``acc[i] = sum_p xext[P+i-p]*H[p]`` (complex via planes)."""
     _, P, C, F = H.shape
     if ct is None:
-        # resident history (P+R deep) + streamed H + R-deep accumulator
-        ct = _pick_ct(C, (2 * (P + ratio) + 2 + 2 * ratio) * F * 4)
+        # resident history (P+R deep) + streamed H + R-deep accumulator;
+        # the history block is pipeline-double-buffered across channel
+        # tiles, so keep this budget conservative
+        ct = _pick_ct(C, (2 * (P + ratio) + 2 + 2 * ratio) * F * 4,
+                      budget=3 << 20)
     return pl.pallas_call(
         partial(_head_kernel, P, ratio),
         grid=(C // ct, P),

@@ -18,10 +18,14 @@ import os
 
 # auto-mode gates, from the v5e A/B sweep (docs/PERFORMANCE.md):
 # rotated MAC wins for P >= 8 at any C >= 16 measured; the head FIR wins
-# from C >= 64 (1.5x) and grows with C.  Both need whole channel tiles.
+# from C >= 64 (1.5x) and grows with C.  The fused head SUPER-kernel only
+# pays where the unfused pipeline's HBM re-reads dominate its fixed cost —
+# honest end-to-end A/B: +27% RTF at C=1024, -74% at C=64 — so it gates
+# at C >= 128.  All need whole channel tiles.
 _ROT_MIN_PARTS = 8
 _ROT_MIN_ELEMS = 2 * 1024 * 1024    # P*C*F per plane
 _HEAD_MIN_ELEMS = 512 * 1024        # P*C*F per plane
+_FUSED_MIN_CH = 128
 
 
 def _mode() -> str:
@@ -50,6 +54,24 @@ def maybe_pallas_mac(xext, H, ratio):
     from .ops.pallas.spectral_mac import head_mac_pallas
 
     return head_mac_pallas(xext, H, ratio, interpret=_interpret())
+
+
+def maybe_fused_head(x, xcarry, prev, H, block: int):
+    """Fused rFFT->MAC->irfft head super-kernel hook: ``None`` -> caller
+    runs the unfused composition.  Gated separately
+    (BBCAT_DSP_PALLAS_FUSED_HEAD=0/1/auto) so the super-kernel can be
+    A/B'd against the unfused XLA pipeline independently of the MACs."""
+    mode = os.environ.get("BBCAT_DSP_PALLAS_FUSED_HEAD", _mode())
+    if mode == "0":
+        return None
+    _, P, C, F = H.shape
+    if mode != "1" and (P * C * F < _HEAD_MIN_ELEMS
+                        or C < _FUSED_MIN_CH or C % 8):
+        return None
+    from .ops.pallas.fused_head import fused_head_pallas
+
+    return fused_head_pallas(x, xcarry, prev, H, block,
+                             interpret=_interpret())
 
 
 def maybe_rotated_mac(queue, H, slot: int):

@@ -150,29 +150,40 @@ def main() -> None:
 
     conv = NonUniformConvolver(irs, block=_B, ratio=8)
     xd = jnp.asarray(x)
+    # timing renders each consume a DISTINCT signal: scanning the same x
+    # lets XLA hoist the input-dependent stages (whole-signal forward DFTs)
+    # out of the repeat loop and inflates the "throughput" ~7x
+    xs_all = jnp.asarray(
+        rng.standard_normal((12, _C, _T)).astype(np.float32)
+    )
     audio_seconds = _T / _FS
 
     # -- throughput first: get a number on the board before anything else --
-    # NOTE: tail_slot0 stays None (dynamic tail-queue slot).  The static-slot
-    # variant is marginally faster on device but its fully-unrolled program
-    # takes the remote compiler minutes-to-stalled on bad days, while the
-    # dynamic variant compiles in ~5 s and still clears the target several
-    # times over (426-575x measured).
+    # Two programs, in safety order:
+    #   1. tail_slot0=None (dynamic tail-queue slot): compiles in ~5 s and
+    #      clears the target several times over (~600x) — this secures a
+    #      defensible number early no matter what the relay does;
+    #   2. tail_slot0=0 (static slots, zero-gather): ~6x faster on device
+    #      (3696x measured honest) but its fully-unrolled program has taken
+    #      the remote compiler minutes on bad days — attempted only after a
+    #      dynamic number exists and only within the remaining time budget.
     conv.reset()
     state = conv.state
     Hh, Ht = conv.H_head, conv.H_tail
+    run_t0 = time.perf_counter()
 
-    def chain(n: int, trials: int = 2) -> float:
-        # n renders inside ONE device program: per-dispatch relay latency
-        # appears once per call and cancels in the slope over n.  Every
-        # completed call immediately improves the overhead-INCLUSIVE lower
-        # bound in _BEST, so even a later stall leaves a real value.
+    def chain(n: int, slot0, trials: int = 2) -> float:
+        # n renders (distinct inputs) inside ONE device program:
+        # per-dispatch relay latency appears once per call and cancels in
+        # the slope over n.  Every completed call immediately improves the
+        # overhead-INCLUSIVE lower bound in _BEST, so even a later stall
+        # leaves a real value.
         nonlocal state
         best = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
             state, tails = nonuniform_render_looped(
-                state, Hh, Ht, xd, _B, n, tail_slot0=None
+                state, Hh, Ht, xs_all[:n], _B, tail_slot0=slot0
             )
             float(jnp.sum(tails))
             dt = time.perf_counter() - t0
@@ -184,39 +195,50 @@ def main() -> None:
                 _BEST["per_render"] = dt / n
         return best
 
-    _BEST["stage"] = "compile_short"
-    chain(2, trials=1)  # compile + first dispatch-inclusive lower bound
-    _BEST["stage"] = "compile_long"
     n1, n2 = 2, 12
-    chain(n2, trials=1)
 
-    _BEST["stage"] = "slope"
-    # The relay's load varies on minute scales and inflates every sample
-    # (interference only ever ADDS time), so take the best slope across a
-    # few attempts spaced out in time, stopping early once an attempt is
-    # clearly uncongested.
-    per_render = float("inf")
-    good = audio_seconds / 400.0  # per-render time at 400x real-time
-    budget_t0 = time.perf_counter()
-    for attempt in range(4):
-        t_short = chain(n1)
-        t_long = chain(n2)
-        per = (t_long - t_short) / (n2 - n1)
-        if per > 0.2 * t_short / n1:  # slope consistent with absolute time
-            if per < per_render:
-                per_render = per
+    def slope_attempts(slot0, attempts: int, budget_s: float) -> None:
+        # The relay's load varies on minute scales and inflates every
+        # sample (interference only ever ADDS time), so take the best
+        # slope across spaced attempts, stopping early once an attempt is
+        # clearly uncongested.
+        good = audio_seconds / (400.0 if slot0 is None else 2500.0)
+        t0 = time.perf_counter()
+        for _ in range(attempts):
+            t_short = chain(n1, slot0)
+            t_long = chain(n2, slot0)
+            per = (t_long - t_short) / (n2 - n1)
+            if (per > 0.2 * t_short / n1  # slope consistent with abs time
+                    and audio_seconds / per > (_BEST["rtf"] or 0.0)):
                 _BEST["rtf"] = audio_seconds / per
                 _BEST["per_render"] = per
                 _BEST["exact"] = True
-        # hard time budget: never let retries push total runtime past what
-        # a CI/driver invocation tolerates
-        if per_render < good or time.perf_counter() - budget_t0 > 120.0:
-            break
-        time.sleep(20)
-    if not np.isfinite(per_render):
-        per_render = max(per, t_long / n2)  # overhead-inclusive fallback
-        _BEST["rtf"] = audio_seconds / per_render
-        _BEST["per_render"] = per_render
+            if ((_BEST["per_render"] or 1.0) < good
+                    or time.perf_counter() - t0 > budget_s):
+                break
+            time.sleep(15)
+
+    _BEST["stage"] = "compile_dynamic"
+    chain(n1, None, trials=1)  # compile + first lower bound
+    chain(n2, None, trials=1)
+    _BEST["stage"] = "slope_dynamic"
+    slope_attempts(None, attempts=2, budget_s=60.0)
+
+    # -- static-slot upgrade, only with >=150 s of watchdog budget left --
+    if time.perf_counter() - run_t0 < _WATCHDOG_S - 150.0:
+        _BEST["stage"] = "compile_static"
+        try:
+            chain(n1, 0, trials=1)
+            chain(n2, 0, trials=1)
+            _BEST["stage"] = "slope_static"
+            slope_attempts(0, attempts=3, budget_s=90.0)
+        except Exception:  # noqa: BLE001 — keep the dynamic number
+            pass
+    if _BEST["per_render"] is None:
+        # no consistent slope anywhere: overhead-inclusive fallback
+        t_long = chain(n2, None, trials=1)
+        _BEST["per_render"] = t_long / n2
+        _BEST["rtf"] = audio_seconds / _BEST["per_render"]
 
     # -- accuracy: one channel vs float64 golden convolution (cached) --
     # call the dynamic-slot render directly: conv.process would pick the

@@ -185,7 +185,8 @@ def bench_config5():
     """1024 channels x 64k-tap IRs — single-chip capacity point of the
     pod-scale config (multi-host unavailable in this environment)."""
     import jax.numpy as jnp
-    from bbcat_dsp_tpu.convolve import NonUniformConvolver, nonuniform_render
+    from bbcat_dsp_tpu.convolve import NonUniformConvolver
+    from bbcat_dsp_tpu.convolve.nonuniform import nonuniform_render_pinned
 
     rng = np.random.default_rng(0)
     C, N, B, ratio = 1024, 65536, 512, 8
@@ -200,7 +201,7 @@ def bench_config5():
     box = {"state": conv.state}
 
     def run():
-        box["state"], y = nonuniform_render(
+        box["state"], y = nonuniform_render_pinned(
             box["state"], conv.H_head, conv.H_tail, x, B, tail_slot0=0
         )
         return y

@@ -36,11 +36,13 @@ def main() -> int:
     rng = np.random.default_rng(0)
     irs = (rng.standard_normal((C, N)) * np.exp(-np.arange(N) / 4000.0)
            ).astype(np.float64)
-    xd = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32))
+    reps = 8
+    # distinct signal per render — see nonuniform_render_looped: repeating
+    # one x lets XLA hoist the forward DFTs out of the loop
+    xs = jnp.asarray(rng.standard_normal((reps, C, T)).astype(np.float32))
     conv = NonUniformConvolver(irs, block=B, ratio=ratio)
     state, Hh, Ht = conv.state, conv.H_head, conv.H_tail
-    reps = 8
-    state, tails = nonuniform_render_looped(state, Hh, Ht, xd, B, reps,
+    state, tails = nonuniform_render_looped(state, Hh, Ht, xs, B,
                                             tail_slot0=0)
     float(jnp.sum(tails))
 
@@ -49,7 +51,7 @@ def main() -> int:
 
     shutil.rmtree(tdir, ignore_errors=True)
     jax.profiler.start_trace(tdir)
-    state, tails = nonuniform_render_looped(state, Hh, Ht, xd, B, reps,
+    state, tails = nonuniform_render_looped(state, Hh, Ht, xs, B,
                                             tail_slot0=0)
     float(jnp.sum(tails))
     jax.profiler.stop_trace()

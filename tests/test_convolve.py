@@ -291,3 +291,55 @@ def test_uniform_mixed_mode_slot_tracking(rng):
     y = np.concatenate(ys + [y2], -1)[0]
     ref = golden.direct_convolve(x, ir)[: y.size]
     assert snr_db(ref, y) > 90.0
+
+
+def test_rfft_halfwin_large_matches_numpy(rng):
+    """Rectangular four-step half-window forward (>_MAX_DIRECT sizes) ==
+    numpy rfft of [x, zeros]."""
+    from bbcat_dsp_tpu.convolve.fft import _rfft_halfwin_large
+
+    n = 8192
+    x = rng.standard_normal((3, n // 2)).astype(np.float32)
+    got = np.asarray(_rfft_halfwin_large(jnp.asarray(x), n))
+    ref = np.fft.rfft(np.concatenate([x, np.zeros_like(x)], -1), axis=-1)
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got[0], ref.real, atol=2e-4 * scale)
+    np.testing.assert_allclose(got[1], ref.imag, atol=2e-4 * scale)
+
+
+def test_irfft_tail_large_matches_numpy(rng):
+    """Rectangular four-step tail-only inverse (>_MAX_DIRECT sizes) ==
+    last n/2 samples of numpy irfft."""
+    from bbcat_dsp_tpu.convolve.fft import _irfft_tail_large
+
+    n = 8192
+    F = n // 2 + 1
+    spec = rng.standard_normal((2, 3, F)).astype(np.float32)
+    got = np.asarray(_irfft_tail_large(jnp.asarray(spec), n))
+    z = spec[0] + 1j * spec[1]
+    ref = np.fft.irfft(z, n=n, axis=-1)[..., n // 2:]
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got, ref, atol=2e-4 * scale)
+
+
+def test_half_transforms_odd_factor_fallback(rng):
+    """Sizes whose balanced factors are odd fall back to the generic
+    four-step (correctness over speed)."""
+    from bbcat_dsp_tpu.convolve.fft import (
+        _balanced_factors, _irfft_tail_large, _rfft_halfwin_large)
+
+    n = 4608  # 2^9 * 3^2 -> at least one odd factor possible
+    n1, n2 = _balanced_factors(n)
+    x = rng.standard_normal((2, n // 2)).astype(np.float32)
+    got = np.asarray(_rfft_halfwin_large(jnp.asarray(x), n))
+    ref = np.fft.rfft(np.concatenate([x, np.zeros_like(x)], -1), axis=-1)
+    scale = np.max(np.abs(ref))
+    np.testing.assert_allclose(got[0], ref.real, atol=2e-4 * scale)
+    np.testing.assert_allclose(got[1], ref.imag, atol=2e-4 * scale)
+    F = n // 2 + 1
+    spec = rng.standard_normal((2, 2, F)).astype(np.float32)
+    got2 = np.asarray(_irfft_tail_large(jnp.asarray(spec), n))
+    z = spec[0] + 1j * spec[1]
+    ref2 = np.fft.irfft(z, n=n, axis=-1)[..., n // 2:]
+    scale2 = np.max(np.abs(ref2))
+    np.testing.assert_allclose(got2, ref2, atol=2e-4 * scale2)

@@ -183,18 +183,17 @@ def test_looped_render_matches_repeated(rng):
     conv = NonUniformConvolver(ir, block=B, ratio=ratio)
     Pt = conv.tail_parts
     T = SB * Pt
-    x = rng.standard_normal((2, T)).astype(np.float32)
-
+    xs = rng.standard_normal((3, 2, T)).astype(np.float32)
     s1 = conv.state
     tails_ref = []
-    for _ in range(3):
+    for i in range(3):
         s1, y = nonuniform_render(s1, conv.H_head, conv.H_tail,
-                                  jnp.asarray(x), B, tail_slot0=0)
+                                  jnp.asarray(xs[i]), B, tail_slot0=0)
         tails_ref.append(np.asarray(y[:, -1]))
 
     conv2 = NonUniformConvolver(ir, block=B, ratio=ratio)
     s2, tails = nonuniform_render_looped(
-        conv2.state, conv2.H_head, conv2.H_tail, jnp.asarray(x), B, 3,
+        conv2.state, conv2.H_head, conv2.H_tail, jnp.asarray(xs), B,
         tail_slot0=0)
     np.testing.assert_allclose(np.asarray(tails),
                                np.stack(tails_ref), atol=1e-5)

@@ -98,4 +98,7 @@ def test_pallas_mac_hook_integration(rng, monkeypatch):
     y_pal = np.asarray(b.process(jnp.asarray(x)))
     monkeypatch.delenv("BBCAT_DSP_PALLAS_MAC")
     jax.clear_caches()
-    np.testing.assert_allclose(y_pal, y_ref, atol=1e-5)
+    # mode "1" also forces the fused head super-kernel, whose manual
+    # bf16-split HIGH matmuls differ from the CPU reference's full-f32
+    # DFT at ~1e-5 relative — tolerance covers precision, not structure
+    np.testing.assert_allclose(y_pal, y_ref, atol=3e-4)
