@@ -166,6 +166,89 @@ def _cpx_affine_scan(ar, ai, vr, vi, s0r, s0i):
     return sr, si
 
 
+# chunk length for the Toeplitz (matmul) constant-pole scan — one MXU tile
+_TOEP_CHUNK = 128
+
+
+def _pole_powers(pr, pi, n: int):
+    """``p^0 .. p^{n-1}`` along a new last axis via log-depth doubling
+    (exact complex multiplies; n must be a power of two)."""
+    powr = jnp.ones(pr.shape + (1,), pr.dtype)
+    powi = jnp.zeros(pi.shape + (1,), pi.dtype)
+    while powr.shape[-1] < n:
+        # p^m = powers[-1] * p ; [p^m..p^{2m-1}] = p^m * powers
+        lr = powr[..., -1] * pr - powi[..., -1] * pi
+        li = powr[..., -1] * pi + powi[..., -1] * pr
+        powr, powi = (
+            jnp.concatenate([powr, lr[..., None] * powr
+                             - li[..., None] * powi], -1),
+            jnp.concatenate([powi, lr[..., None] * powi
+                             + li[..., None] * powr], -1),
+        )
+    return powr, powi
+
+
+def _cpx_affine_scan_const(pr, pi, vr, vi, s0r, s0i):
+    """:func:`_cpx_affine_scan` for a CONSTANT complex pole ``p`` (no time
+    axis on ``pr/pi``), computed as blocked Toeplitz MATMULS on the MXU.
+
+    ``s[i] = sum_{j<=i} p^{i-j} v[j] + p^{i+1} s0`` — within each 128-sample
+    chunk that inner sum is ``v_chunk @ M`` with the upper-triangular
+    ``M[j, i] = p^{i-j}``; chunks couple through a tiny n-element carry
+    scan.  Replaces ``lax.associative_scan``'s O(log T) pad/slice ladder
+    (~90 XLA ops per call, 1.48 ms/block measured for config #2) with 2-4
+    batched matmuls.  Matmuls run at HIGHEST (1.3e-7 operand error, exact
+    enough for the >=120 dB engine contracts); the reduction per output is
+    one 128-term dot — fewer roundings than the sequential recurrence.
+
+    ``pr/pi [K]``; ``vr/vi [K, B, T]`` (T a multiple of 128); ``vi=None``
+    means the input is real.  ``s0r/s0i [K, B]``.
+    """
+    K, Bb, T = vr.shape
+    L = _TOEP_CHUNK
+    n = T // L
+    powr, powi = _pole_powers(pr, pi, 2 * L)          # [K, 2L]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)  # output index i
+    jj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)  # input index j
+    d = jnp.where(ii >= jj, ii - jj, 0)
+    mask = (ii >= jj).astype(vr.dtype)
+    Mr = powr[:, d] * mask                             # [K, L, L]
+    Mi = powi[:, d] * mask
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def bmm(a, m):  # [K, B*, L] @ [K, L, L] -> [K, B*, L]
+        return jnp.einsum("kbnl,klm->kbnm", a, m, precision=hi)
+
+    vcr = vr.reshape(K, Bb, n, L)
+    if vi is None:
+        yr = bmm(vcr, Mr)
+        yi = bmm(vcr, Mi)
+    else:
+        vci = vi.reshape(K, Bb, n, L)
+        yr = bmm(vcr, Mr) - bmm(vci, Mi)
+        yi = bmm(vcr, Mi) + bmm(vci, Mr)
+
+    # cross-chunk carry: c[m] = p^L c[m-1] + e[m], e = chunk-end locals
+    pLr = powr[:, L]
+    pLi = powi[:, L]
+    er = yr[..., -1]                                   # [K, B, n]
+    ei = yi[..., -1]
+    cr, ci = _cpx_affine_scan(
+        jnp.broadcast_to(pLr[:, None, None], er.shape),
+        jnp.broadcast_to(pLi[:, None, None], er.shape),
+        er, ei, s0r, s0i,
+    )
+    cpr = jnp.concatenate([s0r[..., None], cr[..., :-1]], -1)  # carry INTO m
+    cpi = jnp.concatenate([s0i[..., None], ci[..., :-1]], -1)
+    # add p^{i+1} * carry to every in-chunk sample
+    pwr = powr[:, None, None, 1:L + 1]                 # [K,1,1,L]
+    pwi = powi[:, None, None, 1:L + 1]
+    sr = yr + pwr * cpr[..., None] - pwi * cpi[..., None]
+    si = yi + pwr * cpi[..., None] + pwi * cpr[..., None]
+    return sr.reshape(K, Bb, T), si.reshape(K, Bb, T)
+
+
 @jax.jit
 def modal_apply(x: jax.Array, params: ModalParams, state: ModalState | None = None):
     """Run a (time-invariant) biquad in the modal realization over
@@ -183,16 +266,48 @@ def modal_apply(x: jax.Array, params: ModalParams, state: ModalState | None = No
     xm2 = jnp.concatenate([x2, x1, xb[..., :-2]], -1)
     v = (params.d1[..., None] * xm1 + params.d2[..., None] * xm2)
 
-    tr, ti = _cpx_affine_scan(
-        jnp.broadcast_to(params.p1r[..., None], full),
-        jnp.broadcast_to(params.p1i[..., None], full),
-        v, jnp.zeros_like(v), state.tr, state.ti,
-    )
-    wr, wi = _cpx_affine_scan(
-        jnp.broadcast_to(params.p2r[..., None], full),
-        jnp.broadcast_to(params.p2i[..., None], full),
-        tr, ti, state.wr, state.wi,
-    )
+    ps = params.b0.shape
+    kn = int(np.prod(ps)) if ps else 1
+    if (T % _TOEP_CHUNK == 0 and T >= 2 * _TOEP_CHUNK and kn <= 128
+            and b[len(b) - len(ps):] == ps):
+        # constant poles, pole dims trailing the batch: Toeplitz matmul
+        # scan.  Layout [lead..., K, T] -> [K, lead, T] so each pole's
+        # chunk matrices batch on the K axis.
+        Bf = int(np.prod(b[:len(b) - len(ps)])) if len(ps) < len(b) else 1
+
+        def to_kbt(a):
+            return jnp.moveaxis(a.reshape((Bf, kn) + a.shape[len(b):]), 0, 1)
+
+        def from_kbt(a):
+            return jnp.moveaxis(a, 1, 0).reshape(b + a.shape[2:])
+
+        p1r = params.p1r.reshape(kn)
+        p1i = params.p1i.reshape(kn)
+        p2r = params.p2r.reshape(kn)
+        p2i = params.p2i.reshape(kn)
+        s_tr = to_kbt(jnp.broadcast_to(state.tr, b))
+        s_ti = to_kbt(jnp.broadcast_to(state.ti, b))
+        s_wr = to_kbt(jnp.broadcast_to(state.wr, b))
+        s_wi = to_kbt(jnp.broadcast_to(state.wi, b))
+        tr_, ti_ = _cpx_affine_scan_const(
+            p1r, p1i, to_kbt(v), None, s_tr, s_ti)
+        wr_, wi_ = _cpx_affine_scan_const(
+            p2r, p2i, tr_, ti_, s_wr, s_wi)
+        tr = from_kbt(tr_)
+        ti = from_kbt(ti_)
+        wr = from_kbt(wr_)
+        wi = from_kbt(wi_)
+    else:
+        tr, ti = _cpx_affine_scan(
+            jnp.broadcast_to(params.p1r[..., None], full),
+            jnp.broadcast_to(params.p1i[..., None], full),
+            v, jnp.zeros_like(v), state.tr, state.ti,
+        )
+        wr, wi = _cpx_affine_scan(
+            jnp.broadcast_to(params.p2r[..., None], full),
+            jnp.broadcast_to(params.p2i[..., None], full),
+            tr, ti, state.wr, state.wi,
+        )
     y = params.b0[..., None] * xb + wr
     new_state = ModalState(
         x1=xb[..., -1], x2=xm1[..., -1],
@@ -364,10 +479,21 @@ def parallel_cascade_apply(
     full = (K,) + batch + (T,)
     xb = jnp.broadcast_to(x, full)
     shape_k = (K,) + (1,) * len(batch) + (1,)
-    ar = jnp.broadcast_to(params.pr.reshape(shape_k), full)
-    ai = jnp.broadcast_to(params.pi.reshape(shape_k), full)
-    sr, si = _cpx_affine_scan(ar, ai, xb, jnp.zeros_like(xb),
-                              state.sr, state.si)
+    if T % _TOEP_CHUNK == 0 and T >= 2 * _TOEP_CHUNK:
+        # constant poles + long block: Toeplitz matmul scan (MXU) instead
+        # of the associative scan's pad/slice ladder
+        Bf = int(np.prod(batch)) if batch else 1
+        sr, si = _cpx_affine_scan_const(
+            params.pr, params.pi, xb.reshape(K, Bf, T), None,
+            state.sr.reshape(K, Bf), state.si.reshape(K, Bf),
+        )
+        sr = sr.reshape(full)
+        si = si.reshape(full)
+    else:
+        ar = jnp.broadcast_to(params.pr.reshape(shape_k), full)
+        ai = jnp.broadcast_to(params.pi.reshape(shape_k), full)
+        sr, si = _cpx_affine_scan(ar, ai, xb, jnp.zeros_like(xb),
+                                  state.sr, state.si)
     rr = params.rr.reshape(shape_k)
     ri = params.ri.reshape(shape_k)
     y = params.c * x + jnp.sum(rr * sr - ri * si, axis=0)
