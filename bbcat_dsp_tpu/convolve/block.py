@@ -180,42 +180,56 @@ def _step_static_slot(state: ConvolverState, H: jax.Array, x: jax.Array,
 @partial(jax.jit, static_argnames=("block", "slot0"), donate_argnums=(0,))
 def convolver_render(state: ConvolverState, H: jax.Array, x: jax.Array,
                      block: int, slot0: int | None = None):
-    """Render a long ``[C, T]`` signal through the convolver with an
-    on-device ``lax.scan`` over blocks (no host round-trips — the bench
-    path).  ``T`` must be a multiple of ``block``.
+    """Render a long ``[C, T]`` signal as ONE batched window FIR.
 
-    With ``slot0`` (the queue cursor mod P at entry, host-known) and the
-    block count a multiple of P, the scan body unrolls P steps with
-    compile-time queue slots — zero gathers (see the non-uniform engine's
-    identical trick)."""
+    Within a render the spectral delay line is just input history, so all
+    ``n`` blocks transform in one batched rFFT and the MAC becomes P
+    shifted elementwise multiply-adds over ``[n, C, F]`` — no per-block
+    scan, no queue slot tracking (``slot0`` is accepted for backward
+    compatibility and ignored).  Replaces both the dynamic-gather scan and
+    the unrolled static-slot variant (whose fully-unrolled program took
+    the remote compiler minutes at large P).  State stays slot-encoded and
+    interchangeable with the streaming :func:`convolver_step`.
+    """
+    del slot0
     C, T = x.shape
-    nblocks = T // block
+    B = block
+    n = T // B
     P = state.queue.shape[1]
 
-    if slot0 is not None and nblocks % P == 0:
-        groups = jnp.moveaxis(x.reshape(C, nblocks // P, P * block), 1, 0)
+    xb = jnp.moveaxis(x.reshape(C, n, B), 1, 0)           # [n, C, B]
+    xt = rfft_half_planes(xb, 2 * B)                      # [2, n, C, F]
+    s = jnp.asarray(half_window_signs(2 * B))
+    ext = jnp.concatenate([state.prev[:, None], xt], axis=1)
+    X = ext[:, :-1] + s * ext[:, 1:]                      # [2, n, C, F]
 
-        def gbody(st, xg):
-            ys = []
-            for j in range(P):
-                xb = jax.lax.slice_in_dim(
-                    xg, j * block, (j + 1) * block, axis=-1
-                )
-                st, y = _step_static_slot(st, H, xb, (slot0 + j) % P)
-                ys.append(y)
-            return st, jnp.concatenate(ys, axis=-1)
+    # past P window spectra in chronological order (oldest..newest):
+    # the window written at step-P+k sits in slot (step+k) mod P
+    idx = jnp.mod(state.step + jnp.arange(P), P)
+    past = state.queue[:, idx]
+    Xext = jnp.concatenate([past, X], axis=1)             # [2, P+n, C, F]
 
-        state, ys = jax.lax.scan(gbody, state, groups)
-        return state, jnp.moveaxis(ys, 0, 1).reshape(C, T)
+    acc_r = jnp.zeros((n,) + X.shape[2:], x.dtype)
+    acc_i = jnp.zeros_like(acc_r)
+    for p in range(P):
+        xr = jax.lax.slice_in_dim(Xext[0], P - p, P - p + n, axis=0)
+        xi = jax.lax.slice_in_dim(Xext[1], P - p, P - p + n, axis=0)
+        hr = H[0, p]
+        hi = H[1, p]
+        acc_r = acc_r + (xr * hr - xi * hi)
+        acc_i = acc_i + (xr * hi + xi * hr)
 
-    blocks = jnp.moveaxis(x.reshape(C, nblocks, block), 1, 0)
+    y2 = irfft_tail_planes(jnp.stack([acc_r, acc_i]), 2 * B)  # [n, C, B]
+    y = jnp.moveaxis(y2, 0, 1).reshape(C, T).astype(x.dtype)
 
-    def body(st, xb):
-        st, y = convolver_step(st, H, xb)
-        return st, y
-
-    state, ys = jax.lax.scan(body, state, blocks)
-    return state, jnp.moveaxis(ys, 0, 1).reshape(C, T)
+    # write the last P windows back in slot encoding
+    queue = state.queue
+    for p in range(P):
+        slot = jnp.mod(state.step + n - 1 - p, P)
+        w = jax.lax.dynamic_slice_in_dim(Xext, P + n - 1 - p, 1, axis=1)
+        queue = jax.lax.dynamic_update_slice(
+            queue, w.astype(queue.dtype), (0, slot, 0, 0))
+    return ConvolverState(queue, xt[:, -1], state.step + n), y
 
 
 class BlockConvolver:

@@ -201,57 +201,89 @@ def _head_step_single_crossfade(xcarry, prev, H_old, H_new, x):
     return y, xext[:, -P:], prev_xt
 
 
-def _tail_step_static(tail: ConvolverState, H_tail, x, slot: int):
-    """Uniform tail step with a STATIC queue slot: the circular-buffer
-    rotation becomes compile-time slices (TPU gathers materialise the whole
-    rotated queue — hundreds of MB at pod-scale channel counts)."""
-    B2 = x.shape[-1]
-    from .fft import half_window_signs, irfft_tail_planes, rfft_half_planes
-
-    from ..ops_pallas_hook import maybe_rotated_mac
-
-    xt = rfft_half_planes(x, 2 * B2)
-    s = jnp.asarray(half_window_signs(2 * B2))
-    X = tail.prev + s * xt
-    P = tail.queue.shape[1]
-    queue = tail.queue.at[:, slot].set(X.astype(tail.queue.dtype))
-    acc = maybe_rotated_mac(queue, H_tail, slot)
-    if acc is None:
-        acc_r = jnp.zeros_like(X[0])
-        acc_i = jnp.zeros_like(X[0])
-        for p in range(P):
-            q = queue[:, (slot - p) % P]
-            h = H_tail[:, p]
-            acc_r = acc_r + (q[0] * h[0] - q[1] * h[1])
-            acc_i = acc_i + (q[0] * h[1] + q[1] * h[0])
-        acc = jnp.stack([acc_r, acc_i])
-    y = irfft_tail_planes(acc, 2 * B2).astype(x.dtype)
-    return ConvolverState(queue, xt, tail.step + 1), y
+def _choose_chunk(total: int, limit: int) -> int:
+    """Largest divisor of ``total`` that is <= ``limit`` (>= 1)."""
+    best = 1
+    for d in range(1, total + 1):
+        if total % d == 0 and d <= limit:
+            best = d
+    return best
 
 
-def _super_step_static_tail(state: NonUniformState, H_head, H_tail, x,
-                            block: int, slot: int):
-    """:func:`_super_step` with a compile-time tail slot."""
-    ratio = x.shape[-1] // block
-    y_head, xcarry, prev = _head_step(
-        state.xcarry, state.prev, H_head, x, block, ratio
+def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
+                  ratio: int, Pt: int):
+    """One render group of ``Pt`` super-blocks, fully BATCHED.
+
+    Within a render the spectral delay lines are pure input history, so
+    nothing forces the per-super-step cadence: the head evaluates in
+    chunks of many small blocks through :func:`_head_step` (fused Pallas
+    kernel where gated), and the TAIL MAC batches across super-steps —
+    ``acc[j] = sum_p Xwin[j-p] (x) H[p]`` over the [past | new] window
+    history, so H_tail is read once per chunk instead of once per
+    super-step (at config #5 that alone cut the MAC's HBM traffic ~5x).
+    The slot-encoded queue, ``prev`` spectra and ``pending`` alignment are
+    reproduced exactly, so the result and final state are interchangeable
+    with a chain of :func:`_super_step` calls.
+    """
+    C = xg.shape[0]
+    B = block
+    B2 = B * ratio
+
+    # ---- head: chunked batched evaluation (state chains through chunks)
+    n_small = Pt * ratio
+    hc = _choose_chunk(
+        n_small, 16 if C >= 512 else (32 if C >= 128 else n_small)
     )
-    y = y_head + state.pending[0]
-    tail, out_tail = _tail_step_static(state.tail, H_tail, x, slot)
-    pending = jnp.stack([state.pending[1], out_tail])
+    xcarry, prev = state.xcarry, state.prev
+    y_heads = []
+    for c0 in range(0, n_small, hc):
+        xch = jax.lax.slice_in_dim(xg, c0 * B, (c0 + hc) * B, axis=-1)
+        yh, xcarry, prev = _head_step(xcarry, prev, H_head, xch, B, hc)
+        y_heads.append(yh)
+    y_head = jnp.concatenate(y_heads, axis=-1)           # [C, Pt*B2]
+
+    # ---- tail: one batched window transform + chunked batched MAC
+    xsup = jnp.moveaxis(xg.reshape(C, Pt, B2), 1, 0)     # [Pt, C, B2]
+    xt = rfft_half_planes(xsup, 2 * B2)                  # [2, Pt, C, F2]
+    s2 = jnp.asarray(half_window_signs(2 * B2))
+    extw = jnp.concatenate([state.tail.prev[:, None], xt], axis=1)
+    Xw = extw[:, :-1] + s2 * extw[:, 1:]                 # [2, Pt, C, F2]
+    idx = jnp.mod(state.tail.step + jnp.arange(Pt), Pt)  # oldest..newest
+    past = state.tail.queue[:, idx]
+    Xext = jnp.concatenate([past, Xw], axis=1)           # [2, 2Pt, C, F2]
+    tc = _choose_chunk(Pt, 7 if C >= 512 else Pt)
+    accs = []
+    for j0 in range(0, Pt, tc):
+        hist = jax.lax.slice_in_dim(Xext, j0, j0 + Pt + tc, axis=1)
+        accs.append(_head_mac(hist, H_tail, tc))
+    acc = jnp.concatenate(accs, axis=1)                  # [2, Pt, C, F2]
+    out_tail = irfft_tail_planes(acc, 2 * B2).astype(xg.dtype)  # [Pt, C, B2]
+
+    # ---- pending re-alignment: super-step j adds the tail output of
+    # super-step j-2 (the 2-slot schedule slack)
+    delayed = jnp.concatenate([state.pending, out_tail], axis=0)
+    y = y_head + jnp.moveaxis(delayed[:Pt], 0, 1).reshape(C, Pt * B2)
+    pending = delayed[Pt:Pt + 2]
+
+    # ---- queue writeback: every slot is overwritten exactly once per
+    # group; slot s holds the window written at step' - Pt + ((s-step)%Pt)
+    perm = jnp.mod(jnp.arange(Pt) - state.tail.step, Pt)
+    queue = Xw[:, perm].astype(state.tail.queue.dtype)
+    tail = ConvolverState(queue, xt[:, -1], state.tail.step + Pt)
     return NonUniformState(xcarry, prev, tail, pending), y
 
 
 def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
                  tail_slot0: int | None = None):
-    """Render ``[C, T]`` (T multiple of the super-block) via on-device scan
-    over SUPER-blocks.
+    """Render ``[C, T]`` (T multiple of the super-block) on device.
 
-    With ``tail_slot0`` (the tail queue cursor mod P at entry, host-known)
-    and ``nsuper`` a multiple of the tail partition count, the scan body
-    unrolls P super-steps whose queue slots are compile-time constants —
-    the tail's circular rotation costs ZERO gathers.  Otherwise falls back
-    to the dynamic-slot step.
+    When ``nsuper`` is a multiple of the tail partition count the render
+    scans over GROUPS of Pt super-blocks, each evaluated fully batched
+    (:func:`_render_group` — batched head chunks + batched tail MAC).
+    Otherwise it falls back to the per-super-step scan.  ``tail_slot0``
+    is accepted for backward compatibility; the batched group body does
+    its slot arithmetic with traced indices, so it no longer needs a
+    host-known cursor.
     """
     from ..utils.layouts import default_layout
 
@@ -270,20 +302,15 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
     H_head = default_layout(H_head)
     H_tail = default_layout(H_tail)
 
-    if tail_slot0 is not None and nsuper % Pt == 0:
+    del tail_slot0
+    if nsuper % Pt == 0:
         groups = jnp.moveaxis(
             x.reshape(C, nsuper // Pt, Pt * B2), 1, 0
         )
+        ratio = B2 // block
 
         def gbody(st, xg):
-            ys = []
-            for j in range(Pt):
-                xb = jax.lax.slice_in_dim(xg, j * B2, (j + 1) * B2, axis=-1)
-                st, y = _super_step_static_tail(
-                    st, H_head, H_tail, xb, block, (tail_slot0 + j) % Pt
-                )
-                ys.append(y)
-            return st, jnp.concatenate(ys, axis=-1)
+            return _render_group(st, xg, H_head, H_tail, block, ratio, Pt)
 
         state, ys = jax.lax.scan(gbody, state, groups)
         state = state._replace(

@@ -103,11 +103,16 @@ def _kernel(P: int, R: int, B: int, F: int, ct: int,
     for i in range(R):
         y_ref[:, i * B:(i + 1) * B] = ystk[i * ct:(i + 1) * ct]
 
-    # 5. streaming state: last P windows = [carry[R:] | new], last half spec
-    xco_ref[0, :P - R] = xc_ref[0, R:]
-    xco_ref[1, :P - R] = xc_ref[1, R:]
-    xco_ref[0, P - R:] = wre
-    xco_ref[1, P - R:] = wim
+    # 5. streaming state: last P windows (carry tail + new; all-new when
+    # the batch covers >= P windows), last half spectrum
+    if R < P:
+        xco_ref[0, :P - R] = xc_ref[0, R:]
+        xco_ref[1, :P - R] = xc_ref[1, R:]
+        xco_ref[0, P - R:] = wre
+        xco_ref[1, P - R:] = wim
+    else:
+        xco_ref[0] = wre[R - P:]
+        xco_ref[1] = wim[R - P:]
     po_ref[0] = hre[R - 1]
     po_ref[1] = him[R - 1]
 
@@ -138,8 +143,6 @@ def fused_head_pallas(
     is_ = jnp.asarray(isin[:, B:])
     sg = jnp.asarray(half_window_signs(n))[None]  # [1, F]
 
-    if P < R:
-        raise ValueError("fused head requires P >= ratio (head_parts=2*ratio)")
     if ct is None:
         ct = C
         # per-channel f32 elements resident per tile: carry in/out + H

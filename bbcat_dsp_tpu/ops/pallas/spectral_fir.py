@@ -53,11 +53,12 @@ __all__ = ["rotated_mac_pallas", "head_mac_tiled_pallas"]
 def _pick_ct(C: int, per_channel_bytes: int, budget: int = 7 << 20) -> int:
     """Largest channel tile (divisor of C, power-of-two-ish) whose working
     set stays under ``budget`` bytes (pipeline double-buffering doubles it
-    again, so keep this well below the 16 MB VMEM)."""
+    again, so keep this well below the 16 MB VMEM).  Floor of 8: the tile
+    sits on the sublane axis, whose block size must be a multiple of 8."""
     ct = C
-    while ct > 1 and (ct * per_channel_bytes > budget or C % ct):
+    while ct > 8 and (ct * per_channel_bytes > budget or C % ct):
         ct //= 2
-    return max(1, ct)
+    return max(8, ct) if C % 8 == 0 else C
 
 
 def _rot_kernel(nparts: int, slot: int, q_ref, h_ref, o_ref):

@@ -117,25 +117,18 @@ def bench_config3():
     ci, B, N = 64, 512, 1024
     irm = rng.standard_normal((ci, 2, N)) * np.exp(-np.arange(N) / 200.0)
     conv = MatrixConvolver(irm, block=B)
-    import jax
-    from bbcat_dsp_tpu.convolve.matrix import matrix_step
+    from bbcat_dsp_tpu.convolve.matrix import matrix_render
 
-    nblk = 16
-    xs = jnp.asarray(rng.standard_normal((nblk, ci, B)).astype(np.float32))
+    # long render per dispatch: at these tiny per-block costs the relay
+    # dispatch (~0.1-5 ms) dominates anything shorter
+    nblk = 128
+    x = jnp.asarray(rng.standard_normal((ci, nblk * B)).astype(np.float32))
     H = conv.H
-
-    @jax.jit
-    def run_scan(state, xs):
-        def body(st, xb):
-            st, y = matrix_step(st, H, xb)
-            return st, y[:, -1]
-        return jax.lax.scan(body, state, xs)
-
     box = {"st": conv.state}
 
     def run():
-        box["st"], t = run_scan(box["st"], xs)
-        return t
+        box["st"], y = matrix_render(box["st"], H, x, B)
+        return y
 
     dt = _slope_time(run)
     dt /= nblk
