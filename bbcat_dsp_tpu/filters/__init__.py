@@ -11,6 +11,7 @@ from .biquad import (
     biquad_coeffs,
     biquad_response,
     cascade_response,
+    write_response,
     design_bank,
 )
 from .iir import (
@@ -46,6 +47,7 @@ __all__ = [
     "biquad_coeffs",
     "biquad_response",
     "cascade_response",
+    "write_response",
     "design_bank",
     "biquad_apply",
     "biquad_ssm",

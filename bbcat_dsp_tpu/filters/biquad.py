@@ -21,6 +21,7 @@ __all__ = [
     "biquad_response",
     "design_bank",
     "cascade_response",
+    "write_response",
 ]
 
 
@@ -57,3 +58,22 @@ def cascade_response(coeffs: np.ndarray, f, fs: float) -> np.ndarray:
     for row in coeffs:
         h = h * biquad_response(row, f, fs)
     return h
+
+
+def write_response(path, coeffs, fs: float, npoints: int = 1000,
+                   fmin: float = 10.0) -> np.ndarray:
+    """Dump an ``npoints``-point log-spaced magnitude response (dB) of a
+    biquad / cascade to ``path`` — the debug diagnostic the reference emits
+    from ``BiQuadCoeffs::CalcCoeffs`` at debug level (ref:
+    src/BiQuad.cpp:351-370, 1000 log-spaced points to ``coeffs.dat``).
+
+    One ``<freq_hz> <mag_db>`` pair per line.  Returns the frequency grid.
+    """
+    fmax = fs / 2.0
+    f = fmin * (fmax / fmin) ** (np.arange(npoints) / (npoints - 1))
+    mag = np.abs(cascade_response(coeffs, f, fs))
+    db = 20.0 * np.log10(np.maximum(mag, 1e-30))
+    with open(path, "w") as fh:
+        for fi, di in zip(f, db):
+            fh.write(f"{fi:.6f} {di:.6f}\n")
+    return f

@@ -216,6 +216,28 @@ def test_cascade_response_product():
     np.testing.assert_allclose(np.abs(h), 1.0, atol=1e-9)
 
 
+def test_write_response_dump(tmp_path):
+    """1000-point log-spaced response dump (ref: src/BiQuad.cpp:351-370)."""
+    from bbcat_dsp_tpu.filters import write_response
+
+    c = golden.biquad_coeffs(FilterType.LPF12, 1000.0, FS)
+    path = tmp_path / "coeffs.dat"
+    f = write_response(path, c, FS)
+    lines = path.read_text().strip().splitlines()
+    assert len(lines) == 1000 and len(f) == 1000
+    assert f[0] == pytest.approx(10.0) and f[-1] == pytest.approx(FS / 2)
+    # parse back and spot-check against the analytic response
+    fs_back, db_back = np.array([list(map(float, ln.split())) for ln in lines]).T
+    np.testing.assert_allclose(fs_back, f, rtol=1e-5)
+    expect = 20 * np.log10(np.abs(cascade_response(c, f, FS)))
+    np.testing.assert_allclose(db_back, expect, atol=1e-4)
+    # LPF12 with the default BW=1 octave is ~-6.6 dB at cutoff; deep into
+    # the stopband it falls off at -12 dB/octave
+    i_c = np.argmin(np.abs(f - 1000.0))
+    assert -8.0 < db_back[i_c] < -5.0
+    assert db_back[-1] < -40.0
+
+
 @pytest.mark.parametrize("ftype", ALL_TYPES)
 def test_modal_engine_all_types_snr(rng, ftype):
     """Every RBJ filter type through the default (modal) engine >= 90 dB."""
