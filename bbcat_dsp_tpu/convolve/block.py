@@ -96,6 +96,21 @@ def convolver_init(
     )
 
 
+def _roll_slots(a: jax.Array, shift: int, axis: int = 1) -> jax.Array:
+    """Static circular roll: ``out[s] = a[(s + shift) % n]`` along ``axis``.
+
+    Two contiguous slices + concat — never a gather (TPU element gathers
+    run ~100x slower than slices, and a traced-index permutation of the
+    spectral queue dominated the pod-config render)."""
+    n = a.shape[axis]
+    shift %= n
+    if shift == 0:
+        return a
+    lo = jax.lax.slice_in_dim(a, 0, shift, axis=axis)
+    hi = jax.lax.slice_in_dim(a, shift, n, axis=axis)
+    return jnp.concatenate([hi, lo], axis=axis)
+
+
 def _push(state: ConvolverState, x: jax.Array):
     """Half-window rFFT, window assembly, circular queue write, rotated
     gather.
@@ -185,13 +200,15 @@ def convolver_render(state: ConvolverState, H: jax.Array, x: jax.Array,
     Within a render the spectral delay line is just input history, so all
     ``n`` blocks transform in one batched rFFT and the MAC becomes P
     shifted elementwise multiply-adds over ``[n, C, F]`` — no per-block
-    scan, no queue slot tracking (``slot0`` is accepted for backward
-    compatibility and ignored).  Replaces both the dynamic-gather scan and
-    the unrolled static-slot variant (whose fully-unrolled program took
-    the remote compiler minutes at large P).  State stays slot-encoded and
+    scan.  Replaces both the dynamic-gather scan and the unrolled
+    static-slot variant (whose fully-unrolled program took the remote
+    compiler minutes at large P).  State stays slot-encoded and
     interchangeable with the streaming :func:`convolver_step`.
+
+    ``slot0`` (``state.step % P``, when the caller tracks it host-side)
+    makes the queue read AND writeback static rolls — two contiguous
+    slices instead of a traced-index permutation of the whole queue.
     """
-    del slot0
     C, T = x.shape
     B = block
     n = T // B
@@ -205,8 +222,11 @@ def convolver_render(state: ConvolverState, H: jax.Array, x: jax.Array,
 
     # past P window spectra in chronological order (oldest..newest):
     # the window written at step-P+k sits in slot (step+k) mod P
-    idx = jnp.mod(state.step + jnp.arange(P), P)
-    past = state.queue[:, idx]
+    if slot0 is not None:
+        past = _roll_slots(state.queue, slot0)
+    else:
+        idx = jnp.mod(state.step + jnp.arange(P), P)
+        past = state.queue[:, idx]
     Xext = jnp.concatenate([past, X], axis=1)             # [2, P+n, C, F]
 
     acc_r = jnp.zeros((n,) + X.shape[2:], x.dtype)
@@ -223,12 +243,19 @@ def convolver_render(state: ConvolverState, H: jax.Array, x: jax.Array,
     y = jnp.moveaxis(y2, 0, 1).reshape(C, T).astype(x.dtype)
 
     # write the last P windows back in slot encoding
-    queue = state.queue
-    for p in range(P):
-        slot = jnp.mod(state.step + n - 1 - p, P)
-        w = jax.lax.dynamic_slice_in_dim(Xext, P + n - 1 - p, 1, axis=1)
-        queue = jax.lax.dynamic_update_slice(
-            queue, w.astype(queue.dtype), (0, slot, 0, 0))
+    if slot0 is not None:
+        # lastP[j] = window at step step+n-P+j -> slot (slot0+n+j) % P
+        lastP = jax.lax.slice_in_dim(Xext, n, n + P, axis=1)
+        queue = _roll_slots(
+            lastP, (P - (slot0 + n) % P) % P
+        ).astype(state.queue.dtype)
+    else:
+        queue = state.queue
+        for p in range(P):
+            slot = jnp.mod(state.step + n - 1 - p, P)
+            w = jax.lax.dynamic_slice_in_dim(Xext, P + n - 1 - p, 1, axis=1)
+            queue = jax.lax.dynamic_update_slice(
+                queue, w.astype(queue.dtype), (0, slot, 0, 0))
     return ConvolverState(queue, xt[:, -1], state.step + n), y
 
 

@@ -23,7 +23,7 @@ import numpy as np
 from functools import partial
 
 from .fft import irfft_tail_planes
-from .block import ConvolverState, convolver_init, _push
+from .block import ConvolverState, convolver_init, _push, _roll_slots
 
 __all__ = [
     "partition_ir_matrix",
@@ -85,9 +85,9 @@ def matrix_step_crossfade(
     return ConvolverState(queue, xt, state.step + 1), y
 
 
-@partial(jax.jit, static_argnames=("block",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("block", "slot0"), donate_argnums=(0,))
 def matrix_render(state: ConvolverState, H: jax.Array, x: jax.Array,
-                  block: int):
+                  block: int, slot0: int | None = None):
     """Render ``[C_in, T]`` -> ``[C_out, T]`` as ONE batched window FIR.
 
     Within a render there is no sequential dependency — the spectral delay
@@ -113,9 +113,13 @@ def matrix_render(state: ConvolverState, H: jax.Array, x: jax.Array,
     X = ext[:, :-1] + s * ext[:, 1:]                      # [2, n, Ci, F]
 
     # past P window spectra in chronological order (oldest..newest):
-    # window written at step-P+k sits in slot (step+k) mod P
-    idx = jnp.mod(state.step + jnp.arange(P), P)
-    past = state.queue[:, idx]                            # [2, P, Ci, F]
+    # window written at step-P+k sits in slot (step+k) mod P; a host-known
+    # slot0 (= step % P) makes the permutation a static roll (no gather)
+    if slot0 is not None:
+        past = _roll_slots(state.queue, slot0)            # [2, P, Ci, F]
+    else:
+        idx = jnp.mod(state.step + jnp.arange(P), P)
+        past = state.queue[:, idx]                        # [2, P, Ci, F]
     Xext = jnp.concatenate([past, X], axis=1)             # [2, P+n, Ci, F]
 
     def e(a, b):
@@ -133,12 +137,19 @@ def matrix_render(state: ConvolverState, H: jax.Array, x: jax.Array,
     y = jnp.moveaxis(y2, 0, 1).reshape(-1, T).astype(x.dtype)
 
     # write the last P windows back in slot encoding
-    queue = state.queue
-    for p in range(P):
-        slot = jnp.mod(state.step + n - 1 - p, P)
-        w = jax.lax.dynamic_slice_in_dim(Xext, P + n - 1 - p, 1, axis=1)
-        queue = jax.lax.dynamic_update_slice(
-            queue, w.astype(queue.dtype), (0, slot, 0, 0))
+    if slot0 is not None:
+        # lastP[j] = window at step step+n-P+j -> slot (slot0+n+j) % P
+        lastP = jax.lax.slice_in_dim(Xext, n, n + P, axis=1)
+        queue = _roll_slots(
+            lastP, (P - (slot0 + n) % P) % P
+        ).astype(state.queue.dtype)
+    else:
+        queue = state.queue
+        for p in range(P):
+            slot = jnp.mod(state.step + n - 1 - p, P)
+            w = jax.lax.dynamic_slice_in_dim(Xext, P + n - 1 - p, 1, axis=1)
+            queue = jax.lax.dynamic_update_slice(
+                queue, w.astype(queue.dtype), (0, slot, 0, 0))
     return ConvolverState(queue, xt[:, -1], state.step + n), y
 
 
@@ -154,6 +165,7 @@ class MatrixConvolver:
         _, self.nparts, self.c_in, self.c_out, _ = self.H.shape
         self.state = convolver_init(self.c_in, self.block, self.nparts, dtype)
         self._pending_H = None
+        self._steps = 0  # host mirror of state.step (static-slot render)
 
     def set_filter_matrix(self, ir_matrix, in_channel: int | None = None) -> None:
         """Schedule a click-free IR-matrix exchange; ``in_channel`` limits
@@ -179,14 +191,21 @@ class MatrixConvolver:
             self._pending_H = None
         else:
             self.state, y = matrix_step(self.state, self.H, x)
+        self._steps += 1
         return y
 
     def process(self, x: jax.Array) -> jax.Array:
         """Whole-signal render (T multiple of block) on device."""
-        self.state, y = matrix_render(self.state, self.H, x, self.block)
+        nblocks = x.shape[-1] // self.block
+        slot0 = (self._steps % self.nparts
+                 if nblocks % self.nparts == 0 else None)
+        self.state, y = matrix_render(self.state, self.H, x, self.block,
+                                      slot0=slot0)
+        self._steps += nblocks
         return y
 
     def reset(self) -> None:
+        self._steps = 0
         self.state = convolver_init(
             self.c_in, self.block, self.nparts, self.state.prev.dtype
         )

@@ -37,6 +37,7 @@ import numpy as np
 
 from .block import (
     ConvolverState,
+    _roll_slots,
     convolver_init,
     convolver_step,
     convolver_step_crossfade,
@@ -211,7 +212,7 @@ def _choose_chunk(total: int, limit: int) -> int:
 
 
 def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
-                  ratio: int, Pt: int):
+                  ratio: int, Pt: int, tail_slot0: int | None = None):
     """One render group of ``Pt`` super-blocks, fully BATCHED.
 
     Within a render the spectral delay lines are pure input history, so
@@ -248,8 +249,16 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
     s2 = jnp.asarray(half_window_signs(2 * B2))
     extw = jnp.concatenate([state.tail.prev[:, None], xt], axis=1)
     Xw = extw[:, :-1] + s2 * extw[:, 1:]                 # [2, Pt, C, F2]
-    idx = jnp.mod(state.tail.step + jnp.arange(Pt), Pt)  # oldest..newest
-    past = state.tail.queue[:, idx]
+    # past Pt window spectra, oldest..newest.  Each group advances the
+    # step by exactly Pt, so step % Pt is INVARIANT across the group scan:
+    # a host-known tail_slot0 turns this permutation (and the writeback
+    # below) into static rolls — two contiguous slices instead of a
+    # traced-index gather of the whole queue (~0.5 GB at config #5).
+    if tail_slot0 is not None:
+        past = _roll_slots(state.tail.queue, tail_slot0)
+    else:
+        idx = jnp.mod(state.tail.step + jnp.arange(Pt), Pt)
+        past = state.tail.queue[:, idx]
     Xext = jnp.concatenate([past, Xw], axis=1)           # [2, 2Pt, C, F2]
     tc = _choose_chunk(Pt, 7 if C >= 512 else Pt)
     accs = []
@@ -267,8 +276,13 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
 
     # ---- queue writeback: every slot is overwritten exactly once per
     # group; slot s holds the window written at step' - Pt + ((s-step)%Pt)
-    perm = jnp.mod(jnp.arange(Pt) - state.tail.step, Pt)
-    queue = Xw[:, perm].astype(state.tail.queue.dtype)
+    if tail_slot0 is not None:
+        queue = _roll_slots(
+            Xw, (Pt - tail_slot0) % Pt
+        ).astype(state.tail.queue.dtype)
+    else:
+        perm = jnp.mod(jnp.arange(Pt) - state.tail.step, Pt)
+        queue = Xw[:, perm].astype(state.tail.queue.dtype)
     tail = ConvolverState(queue, xt[:, -1], state.tail.step + Pt)
     return NonUniformState(xcarry, prev, tail, pending), y
 
@@ -280,10 +294,11 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
     When ``nsuper`` is a multiple of the tail partition count the render
     scans over GROUPS of Pt super-blocks, each evaluated fully batched
     (:func:`_render_group` — batched head chunks + batched tail MAC).
-    Otherwise it falls back to the per-super-step scan.  ``tail_slot0``
-    is accepted for backward compatibility; the batched group body does
-    its slot arithmetic with traced indices, so it no longer needs a
-    host-known cursor.
+    Otherwise it falls back to the per-super-step scan.  A host-known
+    ``tail_slot0`` (``tail.step % Pt``) makes the group body's queue
+    read/writeback static rolls instead of traced-index permutations —
+    valid inside the group scan because every group advances the step by
+    exactly ``Pt``.
     """
     from ..utils.layouts import default_layout
 
@@ -302,7 +317,6 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
     H_head = default_layout(H_head)
     H_tail = default_layout(H_tail)
 
-    del tail_slot0
     if nsuper % Pt == 0:
         groups = jnp.moveaxis(
             x.reshape(C, nsuper // Pt, Pt * B2), 1, 0
@@ -310,7 +324,8 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
         ratio = B2 // block
 
         def gbody(st, xg):
-            return _render_group(st, xg, H_head, H_tail, block, ratio, Pt)
+            return _render_group(st, xg, H_head, H_tail, block, ratio, Pt,
+                                 tail_slot0)
 
         state, ys = jax.lax.scan(gbody, state, groups)
         state = state._replace(
@@ -354,6 +369,10 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
     RT at config #5.  Falls back to the plain jit off-TPU or when the
     arrays are sharded (pinning is per-device)."""
     args = (state, H_head, H_tail, x)
+    # Build (or fetch) the pinned callable under a fallback guard, but run
+    # it OUTSIDE it: the call donates ``state``, so falling back after a
+    # failed call would hand already-deleted buffers to the plain jit and
+    # mask the real error behind "Array has been deleted".
     try:
         devs = x.devices()
         if jax.default_backend() != "tpu" or len(devs) != 1:
@@ -380,10 +399,10 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
                 out_shardings=jax.tree.map(fmt, (state, x)),
             )
             _PINNED[key] = fn
-        return fn(state, H_head, H_tail, x)
     except Exception:  # pragma: no cover - fallback keeps semantics
         return nonuniform_render(state, H_head, H_tail, x, block,
                                  tail_slot0=tail_slot0)
+    return fn(state, H_head, H_tail, x)
 
 
 @partial(jax.jit, static_argnames=("block", "tail_slot0"),

@@ -343,3 +343,25 @@ def test_half_transforms_odd_factor_fallback(rng):
     ref2 = np.fft.irfft(z, n=n, axis=-1)[..., n // 2:]
     scale2 = np.max(np.abs(ref2))
     np.testing.assert_allclose(got2, ref2, atol=2e-4 * scale2)
+
+
+def test_matrix_static_slot_render_nonzero_cursor(rng):
+    """Matrix render entered at a nonzero queue cursor (static-roll path)
+    == pure per-block streaming."""
+    ci, co, B, N = 4, 2, 64, 64 * 5  # P = 5
+    irm = rng.standard_normal((ci, co, N)) * 0.4
+    nblocks = 3 + 5 + 10  # 3 streamed (slot0=3), then two render calls
+    x = rng.standard_normal((ci, B * nblocks)).astype(np.float32)
+    a = MatrixConvolver(irm, block=B)
+    ref = np.concatenate(
+        [np.asarray(a.process_block(jnp.asarray(x[:, i*B:(i+1)*B])))
+         for i in range(nblocks)], -1)
+    b = MatrixConvolver(irm, block=B)
+    assert b.nparts == 5
+    parts = [np.asarray(b.process_block(jnp.asarray(x[:, i*B:(i+1)*B])))
+             for i in range(3)]
+    parts.append(np.asarray(b.process(jnp.asarray(x[:, 3*B:8*B]))))
+    parts.append(np.asarray(b.process(jnp.asarray(x[:, 8*B:]))))
+    got = np.concatenate(parts, -1)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-6)
