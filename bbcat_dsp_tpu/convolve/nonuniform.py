@@ -251,21 +251,33 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
     Xw = extw[:, :-1] + s2 * extw[:, 1:]                 # [2, Pt, C, F2]
     # past Pt window spectra, oldest..newest.  Each group advances the
     # step by exactly Pt, so step % Pt is INVARIANT across the group scan:
-    # a host-known tail_slot0 turns this permutation (and the writeback
-    # below) into static rolls — two contiguous slices instead of a
-    # traced-index gather of the whole queue (~0.5 GB at config #5).
+    # a host-known tail_slot0 lets the whole group MAC (and the queue
+    # writeback) run as ONE Pallas kernel that reads queue/Xw/H_tail from
+    # HBM exactly once — the materialised [past|new] concat + sliding
+    # hist slices it replaces dominated the pod-config render (~0.5 GB
+    # queue at config #5).  Fallbacks: static rolls (host-known cursor,
+    # kernel gated off) or traced-index permutations (traced cursor).
+    new_queue = None
     if tail_slot0 is not None:
-        past = _roll_slots(state.tail.queue, tail_slot0)
+        from ..ops_pallas_hook import maybe_grouped_mac
+
+        grouped = maybe_grouped_mac(state.tail.queue, Xw, H_tail,
+                                    tail_slot0)
+        if grouped is not None:
+            acc, new_queue = grouped
+        else:
+            past = _roll_slots(state.tail.queue, tail_slot0)
     else:
         idx = jnp.mod(state.tail.step + jnp.arange(Pt), Pt)
         past = state.tail.queue[:, idx]
-    Xext = jnp.concatenate([past, Xw], axis=1)           # [2, 2Pt, C, F2]
-    tc = _choose_chunk(Pt, 7 if C >= 512 else Pt)
-    accs = []
-    for j0 in range(0, Pt, tc):
-        hist = jax.lax.slice_in_dim(Xext, j0, j0 + Pt + tc, axis=1)
-        accs.append(_head_mac(hist, H_tail, tc))
-    acc = jnp.concatenate(accs, axis=1)                  # [2, Pt, C, F2]
+    if new_queue is None:
+        Xext = jnp.concatenate([past, Xw], axis=1)       # [2, 2Pt, C, F2]
+        tc = _choose_chunk(Pt, 7 if C >= 512 else Pt)
+        accs = []
+        for j0 in range(0, Pt, tc):
+            hist = jax.lax.slice_in_dim(Xext, j0, j0 + Pt + tc, axis=1)
+            accs.append(_head_mac(hist, H_tail, tc))
+        acc = jnp.concatenate(accs, axis=1)              # [2, Pt, C, F2]
     out_tail = irfft_tail_planes(acc, 2 * B2).astype(xg.dtype)  # [Pt, C, B2]
 
     # ---- pending re-alignment: super-step j adds the tail output of
@@ -276,7 +288,9 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
 
     # ---- queue writeback: every slot is overwritten exactly once per
     # group; slot s holds the window written at step' - Pt + ((s-step)%Pt)
-    if tail_slot0 is not None:
+    if new_queue is not None:  # produced inside the grouped kernel
+        queue = new_queue.astype(state.tail.queue.dtype)
+    elif tail_slot0 is not None:
         queue = _roll_slots(
             Xw, (Pt - tail_slot0) % Pt
         ).astype(state.tail.queue.dtype)

@@ -47,7 +47,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rotated_mac_pallas", "head_mac_tiled_pallas"]
+__all__ = [
+    "rotated_mac_pallas",
+    "head_mac_tiled_pallas",
+    "grouped_rotated_mac_pallas",
+]
 
 
 def _pick_ct(C: int, per_channel_bytes: int, budget: int = 7 << 20) -> int:
@@ -111,6 +115,98 @@ def rotated_mac_pallas(
         out_shape=jax.ShapeDtypeStruct((2, C, F), jnp.float32),
         interpret=interpret,
     )(queue, H)
+
+
+def _grouped_kernel(nparts: int, slot0: int, q_ref, x_ref, h_ref,
+                    o_ref, q2_ref):
+    P = nparts
+    for j in range(P):
+        acc_r = None
+        acc_i = None
+        for p in range(P):
+            d = j - p
+            if d >= 0:  # new window (this group)
+                vr = x_ref[0, d]
+                vi = x_ref[1, d]
+            else:  # past window, slot-encoded in the queue
+                k = (slot0 + P + d) % P
+                vr = q_ref[0, k]
+                vi = q_ref[1, k]
+            hr = h_ref[0, p]
+            hi = h_ref[1, p]
+            tr = vr * hr - vi * hi
+            ti = vr * hi + vi * hr
+            acc_r = tr if acc_r is None else acc_r + tr
+            acc_i = ti if acc_i is None else acc_i + ti
+        o_ref[0, j] = acc_r
+        o_ref[1, j] = acc_i
+    # rolled writeback: slot s holds the window written at group step
+    # s' = (s - slot0) mod P  (queue stays slot-encoded for the next group)
+    for s in range(P):
+        q2_ref[0, s] = x_ref[0, (s - slot0) % P]
+        q2_ref[1, s] = x_ref[1, (s - slot0) % P]
+
+
+@partial(jax.jit, static_argnames=("slot0", "ct", "ft", "interpret"))
+def grouped_rotated_mac_pallas(
+    queue: jax.Array,
+    Xw: jax.Array,
+    H: jax.Array,
+    slot0: int,
+    ct: int | None = None,
+    ft: int | None = None,
+    interpret: bool = False,
+):
+    """All-P-outputs overlap-save MAC for a whole render group.
+
+    ``queue [2, P, C, F]`` (slot-encoded past: chronological ``past[k] =
+    queue[(slot0+k) % P]``), ``Xw [2, P, C, F]`` (this group's window
+    spectra, chronological), ``H [2, P, C, F]`` ->
+
+        out[j]  = sum_p V[P+j-p] * H[p]   (V = [past | Xw], complex planes)
+        queue'  = Xw rolled back into slot encoding
+
+    One grid step owns one ``(ct, ft)`` channel-frequency tile and runs the
+    full static P^2 MAC with everything VMEM-resident: queue, Xw and H are
+    each read from HBM exactly ONCE and out/queue' written once — ~P/2 x
+    less traffic than the chunked sliding-window formulation, whose
+    materialised [past|new] concat + hist slices dominated the pod-config
+    render (see docs/PERFORMANCE.md).
+    """
+    _, P, C, F = H.shape
+    if ct is None:
+        ct = 8 if C % 8 == 0 else C
+    if ft is None:
+        # 5 resident [2, P, ct, ft] blocks (q, x, h, out, q2), double-
+        # buffered by the pipeline; keep well under the 16 MB VMEM.
+        # Among lane-aligned widths under the budget, pick the one that
+        # minimises total processed lanes (F is often 2^k + 1, so naive
+        # halving leaves a nearly-empty ragged column).
+        per_lane = 5 * 2 * P * ct * 4
+        cap = max(128, ((5 << 20) // per_lane) // 128 * 128)
+        best = None
+        for cand in range(128, min(cap, ((F + 127) // 128) * 128) + 1, 128):
+            total = -(-F // cand) * cand
+            if best is None or total < best[0] or (
+                    total == best[0] and cand > best[1]):
+                best = (total, cand)
+        ft = best[1]
+    nf = -(-F // ft)
+    spec = pl.BlockSpec(
+        (2, P, ct, ft), lambda c, f: (0, 0, c, f), memory_space=pltpu.VMEM
+    )
+    out, q2 = pl.pallas_call(
+        partial(_grouped_kernel, P, slot0),
+        grid=(C // ct, nf),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, P, C, F), jnp.float32),
+            jax.ShapeDtypeStruct((2, P, C, F), jnp.float32),
+        ],
+        interpret=interpret,
+    )(queue, Xw, H)
+    return out, q2
 
 
 def _head_kernel(nparts: int, ratio: int, x_ref, h_ref, o_ref):

@@ -53,6 +53,68 @@ def test_head_mac_tiled_pallas_matches_xla(rng):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_grouped_rotated_mac_pallas_matches_reference(rng):
+    """Whole-group MAC kernel == the overlap-save definition
+    out[j] = sum_p V[P+j-p]*H[p] over V=[past|new], for every cursor,
+    and the queue writeback re-encodes the new windows into slots."""
+    from bbcat_dsp_tpu.ops.pallas import grouped_rotated_mac_pallas
+
+    P, C, F = 5, 16, 65
+    for slot0 in range(P):
+        q = rng.standard_normal((2, P, C, F)).astype(np.float32)
+        xw = rng.standard_normal((2, P, C, F)).astype(np.float32)
+        h = rng.standard_normal((2, P, C, F)).astype(np.float32)
+        out, q2 = grouped_rotated_mac_pallas(
+            jnp.asarray(q), jnp.asarray(xw), jnp.asarray(h), slot0,
+            interpret=True)
+        past = q[:, (np.arange(P) + slot0) % P]
+        V = np.concatenate([past, xw], axis=1)
+        Vc, Hc = V[0] + 1j * V[1], h[0] + 1j * h[1]
+        ref = np.stack([
+            sum(Vc[P + j - p] * Hc[p] for p in range(P)) for j in range(P)])
+        got = np.asarray(out)[0] + 1j * np.asarray(out)[1]
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+        np.testing.assert_array_equal(
+            np.asarray(q2), xw[:, (np.arange(P) - slot0) % P])
+
+
+def test_grouped_mac_hook_integration(rng, monkeypatch):
+    """The multichannel render path routes its tail group MAC through the
+    grouped kernel under BBCAT_DSP_PALLAS_MAC=1, result unchanged."""
+    import jax
+    import bbcat_dsp_tpu.ops_pallas_hook as hook
+    from bbcat_dsp_tpu.convolve import NonUniformConvolver
+
+    C, B, ratio = 16, 32, 2
+    B2 = B * ratio
+    ir = rng.standard_normal((C, B * ratio + 4 * B2)) * 0.3
+    x = rng.standard_normal((C, 12 * B2)).astype(np.float32)
+
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_MAC", "0")
+    jax.clear_caches()
+    a = NonUniformConvolver(ir, block=B, ratio=ratio)
+    y_ref = np.asarray(a.process(jnp.asarray(x)))
+
+    calls = {"n": 0}
+    real = hook.maybe_grouped_mac
+
+    def counting(queue, Xw, H, slot0):
+        r = real(queue, Xw, H, slot0)
+        if r is not None:
+            calls["n"] += 1
+        return r
+
+    monkeypatch.setattr(hook, "maybe_grouped_mac", counting)
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_MAC", "1")
+    jax.clear_caches()
+    b = NonUniformConvolver(ir, block=B, ratio=ratio)
+    y_pal = np.asarray(b.process(jnp.asarray(x)))
+    monkeypatch.delenv("BBCAT_DSP_PALLAS_MAC")
+    jax.clear_caches()
+    assert calls["n"] > 0, "grouped MAC kernel was never engaged"
+    np.testing.assert_allclose(y_pal, y_ref, atol=3e-4)
+
+
 def test_rotated_mac_hook_auto_threshold(rng, monkeypatch):
     """auto mode routes the tail MAC through the Pallas kernel only above
     the traffic-bound threshold; forced mode matches the XLA render."""
