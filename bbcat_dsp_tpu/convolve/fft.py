@@ -226,42 +226,83 @@ def _rfft_halfwin_large(x: jax.Array, n: int, prec=None) -> jax.Array:
     return jnp.stack([zr, zi], axis=0)
 
 
+_PACKW: dict[int, tuple] = {}
+
+
+def _packw(n: int):
+    """Even/odd packing weights w[k] = exp(2pi i k / n), k < n/2."""
+    if n not in _PACKW:
+        ang = 2.0 * np.pi * np.arange(n // 2) / n
+        _PACKW[n] = (np.cos(ang).astype(np.float32),
+                     np.sin(ang).astype(np.float32))
+    return _PACKW[n]
+
+
 def _irfft_tail_large(spec: jax.Array, n: int, prec=None) -> jax.Array:
-    """Four-step inverse rFFT returning ONLY the last ``n//2`` samples:
-    hermitian-extend the half spectrum, then run the conjugate-forward
-    four-step with stage 3 restricted to the tail outputs (k1 >= n1/2 —
-    exactly the last n/2 sample indices) and no imaginary output matmuls.
+    """Inverse rFFT returning ONLY the last ``n//2`` samples, via even/odd
+    complex packing: the length-n hermitian inverse becomes a length-m
+    (m = n/2) COMPLEX inverse whose outputs interleave as
+    ``x[2t'] = Re z[t']``, ``x[2t'+1] = Im z[t']``:
+
+        Z[k] = (G[k] + G[k+m])/2 + i e^{2pi i k/n} (G[k] - G[k+m])/2
+        G[k+m] = conj(spec[m-k])  ->  B = flip(conj(spec[1:]))
+
+    — no materialised hermitian mirror (the reverse+concat to [.., n] it
+    replaces moved ~2 GB at the pod config) and HALF-length transform
+    stages.  Tail outputs ``t >= m`` are exactly ``t' >= m/2``, so stage 3
+    keeps only those columns (the packed analogue of the k1 >= n1/2
+    trick).  Output assembly is one interleave of the two planes.
     """
-    n1, n2 = _balanced_factors(n)
-    if n1 % 2 or n2 % 2:
-        return _dftmm_irfft(spec, n, prec)[..., n // 2:]
     p = prec or _PREC
+    m = n // 2
+    h = m // 2
+    if m % 2:
+        return _dftmm_irfft(spec, n, prec)[..., m:]
+    lead = spec.shape[1:-1]
     re, im = spec[0], spec[1]
-    body_r = re[..., 1:-1][..., ::-1]
-    body_i = im[..., 1:-1][..., ::-1]
-    fr = jnp.concatenate([re, body_r], axis=-1)
-    fi = jnp.concatenate([-im, body_i], axis=-1)  # conj for the inverse
-    lead = fr.shape[:-1]
-    ar = fr.reshape(lead + (n2, n1)).swapaxes(-1, -2)
-    ai = fi.reshape(lead + (n2, n1)).swapaxes(-1, -2)
-    c2r, c2i = _cmats(n2)
-    yr, yi = _cmatmul(ar, ai, jnp.asarray(c2r), jnp.asarray(c2i), prec)
-    twr, twi = _twiddle(n1, n2)
-    twr = jnp.asarray(twr)
-    twi = jnp.asarray(twi)
-    tr = yr * twr - yi * twi
-    ti = yr * twi + yi * twr
-    c1r, c1i = _cmats(n1)
-    h1 = n1 // 2
-    c1r = jnp.asarray(c1r[:, h1:])
-    c1i = jnp.asarray(c1i[:, h1:])
-    tr = tr.swapaxes(-1, -2)  # [.., k2, n1]
-    ti = ti.swapaxes(-1, -2)
-    # real part only (output of a hermitian inverse is real)
-    zr = (jnp.matmul(tr, c1r, precision=p)
-          - jnp.matmul(ti, c1i, precision=p))  # [.., k2, k1-h1]
-    zr = zr.swapaxes(-1, -2).reshape(lead + (n // 2,))
-    return zr / n
+    # DC and Nyquist imaginary parts do not contribute to a real inverse
+    # (numpy.irfft semantics); both land at lane 0 of the packed planes
+    dcmask = jnp.asarray(
+        np.concatenate([[0.0], np.ones(m - 1)]).astype(np.float32))
+    ar, ai = re[..., :m], im[..., :m] * dcmask
+    br = re[..., 1:][..., ::-1]
+    bi = -im[..., 1:][..., ::-1] * dcmask
+    wr, wi = _packw(n)
+    wr = jnp.asarray(wr)
+    wi = jnp.asarray(wi)
+    dr, di = ar - br, ai - bi
+    zr = (ar + br) - wi * dr - wr * di
+    zi = (ai + bi) + wr * dr - wi * di
+    if m <= _MAX_DIRECT:
+        cr, ci = _cmats(m)
+        tr, ti = _cmatmul(zr, zi, jnp.asarray(cr[:, h:]),
+                          jnp.asarray(-ci[:, h:]), prec)
+    else:
+        m1, m2 = _balanced_factors(m)
+        if m1 % 2:
+            return _dftmm_irfft(spec, n, prec)[..., m:]
+        # inverse four-step: conjugated stage matrices and twiddles
+        qr = zr.reshape(lead + (m2, m1)).swapaxes(-1, -2)  # [.., m1(k1), m2]
+        qi = zi.reshape(lead + (m2, m1)).swapaxes(-1, -2)
+        c2r, c2i = _cmats(m2)
+        yr, yi = _cmatmul(qr, qi, jnp.asarray(c2r), jnp.asarray(-c2i), prec)
+        twr, twi = _twiddle(m1, m2)
+        twr = jnp.asarray(twr)
+        twi = jnp.asarray(twi)
+        tr = yr * twr + yi * twi
+        ti = yi * twr - yr * twi
+        c1r, c1i = _cmats(m1)
+        h1 = m1 // 2
+        c1r = jnp.asarray(c1r[:, h1:])
+        c1i = jnp.asarray(-c1i[:, h1:])
+        tr = tr.swapaxes(-1, -2)  # [.., m2(t2), m1(k1)]
+        ti = ti.swapaxes(-1, -2)
+        tr, ti = _cmatmul(tr, ti, c1r, c1i, prec)          # [.., t2, t1h]
+        tr = tr.swapaxes(-1, -2)  # [.., t1h, t2]
+        ti = ti.swapaxes(-1, -2)
+    # interleave even/odd: x[2t'] = Re z[t'], x[2t'+1] = Im z[t']
+    out = jnp.stack([tr, ti], axis=-1).reshape(lead + (m,))
+    return out / n
 
 
 def _dftmm_rfft(x: jax.Array, n: int, prec=None) -> jax.Array:

@@ -246,31 +246,33 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
     # ---- tail: one batched window transform + chunked batched MAC
     xsup = jnp.moveaxis(xg.reshape(C, Pt, B2), 1, 0)     # [Pt, C, B2]
     xt = rfft_half_planes(xsup, 2 * B2)                  # [2, Pt, C, F2]
-    s2 = jnp.asarray(half_window_signs(2 * B2))
-    extw = jnp.concatenate([state.tail.prev[:, None], xt], axis=1)
-    Xw = extw[:, :-1] + s2 * extw[:, 1:]                 # [2, Pt, C, F2]
     # past Pt window spectra, oldest..newest.  Each group advances the
     # step by exactly Pt, so step % Pt is INVARIANT across the group scan:
-    # a host-known tail_slot0 lets the whole group MAC (and the queue
-    # writeback) run as ONE Pallas kernel that reads queue/Xw/H_tail from
-    # HBM exactly once — the materialised [past|new] concat + sliding
+    # a host-known tail_slot0 lets the window assembly, the whole group
+    # MAC and the queue writeback run as ONE Pallas kernel that reads
+    # queue/xt/H_tail from HBM exactly once — the materialised [prev|xt]
+    # concat, multiply-subtract window pass, [past|new] concat and sliding
     # hist slices it replaces dominated the pod-config render (~0.5 GB
     # queue at config #5).  Fallbacks: static rolls (host-known cursor,
     # kernel gated off) or traced-index permutations (traced cursor).
     new_queue = None
+    acc = None
     if tail_slot0 is not None:
-        from ..ops_pallas_hook import maybe_grouped_mac
+        from ..ops_pallas_hook import maybe_windowed_grouped_mac
 
-        grouped = maybe_grouped_mac(state.tail.queue, Xw, H_tail,
-                                    tail_slot0)
+        grouped = maybe_windowed_grouped_mac(
+            state.tail.queue, xt, state.tail.prev, H_tail, tail_slot0)
         if grouped is not None:
             acc, new_queue = grouped
-        else:
+    if acc is None:
+        s2 = jnp.asarray(half_window_signs(2 * B2))
+        extw = jnp.concatenate([state.tail.prev[:, None], xt], axis=1)
+        Xw = extw[:, :-1] + s2 * extw[:, 1:]             # [2, Pt, C, F2]
+        if tail_slot0 is not None:
             past = _roll_slots(state.tail.queue, tail_slot0)
-    else:
-        idx = jnp.mod(state.tail.step + jnp.arange(Pt), Pt)
-        past = state.tail.queue[:, idx]
-    if new_queue is None:
+        else:
+            idx = jnp.mod(state.tail.step + jnp.arange(Pt), Pt)
+            past = state.tail.queue[:, idx]
         Xext = jnp.concatenate([past, Xw], axis=1)       # [2, 2Pt, C, F2]
         tc = _choose_chunk(Pt, 7 if C >= 512 else Pt)
         accs = []
@@ -332,10 +334,22 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
     H_tail = default_layout(H_tail)
 
     if nsuper % Pt == 0:
+        ratio = B2 // block
+        if nsuper == Pt:
+            # single group: call the body directly — a length-1 lax.scan
+            # still costs while-loop carry copies (measured ~4.6 ms of
+            # queue/H relayouts per render at the pod config)
+            state, y = _render_group(state, x, H_head, H_tail, block,
+                                     ratio, Pt, tail_slot0)
+            state = state._replace(
+                xcarry=default_layout(state.xcarry),
+                tail=state.tail._replace(
+                    queue=default_layout(state.tail.queue)),
+            )
+            return state, y
         groups = jnp.moveaxis(
             x.reshape(C, nsuper // Pt, Pt * B2), 1, 0
         )
-        ratio = B2 // block
 
         def gbody(st, xg):
             return _render_group(st, xg, H_head, H_tail, block, ratio, Pt,

@@ -5,7 +5,7 @@ capacity point, BASELINE config #5: 1024 ch x 64k taps), where the whole
 spectral queue cannot sit in VMEM at once and the XLA formulation's fused
 slice-multiply-add chain re-reads HBM well above the traffic bound.
 
-Two kernels, both tiling channels on the grid and accumulating in a
+Three kernels, all tiling channels on the grid and accumulating in a
 VMEM-resident output across the partition axis (one HBM read of the queue
 and the IR spectra, one write of the accumulator — the information-theoretic
 minimum for the op):
@@ -30,6 +30,11 @@ minimum for the op):
     a dynamic slice on the leading partition axis, and H streams one
     partition at a time.
 
+``windowed_grouped_mac_pallas``
+    The whole-render-group tail engine: shift-theorem window assembly from
+    raw half-spectra, all P overlap-save MAC outputs and the slot-encoded
+    queue writeback in one pass (see its docstring).
+
 Numerics: float32, same p-accumulation order as the XLA path (any residual
 difference is FMA contraction inside a product term, ~1 ulp).
 
@@ -50,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "rotated_mac_pallas",
     "head_mac_tiled_pallas",
-    "grouped_rotated_mac_pallas",
+    "windowed_grouped_mac_pallas",
 ]
 
 
@@ -117,17 +122,32 @@ def rotated_mac_pallas(
     )(queue, H)
 
 
-def _grouped_kernel(nparts: int, slot0: int, q_ref, x_ref, h_ref,
-                    o_ref, q2_ref):
+def _wgrouped_kernel(nparts: int, slot0: int, q_ref, xt_ref, pv_ref, h_ref,
+                     o_ref, q2_ref, xw_ref):
     P = nparts
+    # ---- window assembly into VMEM scratch (once per tile):
+    # Xw[j] = xt[j-1] + (-1)^k xt[j], with xt[-1] = prev.  Tiles start at
+    # bin f*ft with ft a multiple of 128, so the (-1)^k pattern always
+    # begins at +1 within a tile.
+    shp = xt_ref.shape[-2:]
+    s = (1 - 2 * (jax.lax.broadcasted_iota(jnp.int32, shp, 1) % 2)
+         ).astype(xt_ref.dtype)
+    for j in range(P):
+        if j == 0:
+            pr, pi = pv_ref[0], pv_ref[1]
+        else:
+            pr, pi = xt_ref[0, j - 1], xt_ref[1, j - 1]
+        xw_ref[0, j] = pr + s * xt_ref[0, j]
+        xw_ref[1, j] = pi + s * xt_ref[1, j]
+    # ---- P^2 MAC over [past | windows]
     for j in range(P):
         acc_r = None
         acc_i = None
         for p in range(P):
             d = j - p
-            if d >= 0:  # new window (this group)
-                vr = x_ref[0, d]
-                vi = x_ref[1, d]
+            if d >= 0:  # window assembled this group
+                vr = xw_ref[0, d]
+                vi = xw_ref[1, d]
             else:  # past window, slot-encoded in the queue
                 k = (slot0 + P + d) % P
                 vr = q_ref[0, k]
@@ -140,49 +160,48 @@ def _grouped_kernel(nparts: int, slot0: int, q_ref, x_ref, h_ref,
             acc_i = ti if acc_i is None else acc_i + ti
         o_ref[0, j] = acc_r
         o_ref[1, j] = acc_i
-    # rolled writeback: slot s holds the window written at group step
-    # s' = (s - slot0) mod P  (queue stays slot-encoded for the next group)
-    for s in range(P):
-        q2_ref[0, s] = x_ref[0, (s - slot0) % P]
-        q2_ref[1, s] = x_ref[1, (s - slot0) % P]
+    # ---- rolled writeback: slot s <- window of group step (s-slot0)%P
+    for sl in range(P):
+        q2_ref[0, sl] = xw_ref[0, (sl - slot0) % P]
+        q2_ref[1, sl] = xw_ref[1, (sl - slot0) % P]
 
 
 @partial(jax.jit, static_argnames=("slot0", "ct", "ft", "interpret"))
-def grouped_rotated_mac_pallas(
+def windowed_grouped_mac_pallas(
     queue: jax.Array,
-    Xw: jax.Array,
+    xt: jax.Array,
+    prev: jax.Array,
     H: jax.Array,
     slot0: int,
     ct: int | None = None,
     ft: int | None = None,
     interpret: bool = False,
 ):
-    """All-P-outputs overlap-save MAC for a whole render group.
+    """Window assembly + all-P-outputs overlap-save MAC + queue writeback
+    for a whole render group, in ONE kernel.
 
-    ``queue [2, P, C, F]`` (slot-encoded past: chronological ``past[k] =
-    queue[(slot0+k) % P]``), ``Xw [2, P, C, F]`` (this group's window
-    spectra, chronological), ``H [2, P, C, F]`` ->
+    ``queue [2, P, C, F]`` (slot-encoded past windows), ``xt [2, P, C, F]``
+    (this group's HALF-window spectra, chronological), ``prev [2, C, F]``
+    (previous half-window spectrum), ``H [2, P, C, F]`` ->
 
-        out[j]  = sum_p V[P+j-p] * H[p]   (V = [past | Xw], complex planes)
-        queue'  = Xw rolled back into slot encoding
+        Xw[j]   = xt[j-1] + (-1)^k xt[j]     (xt[-1] = prev)
+        out[j]  = sum_p V[P+j-p] * H[p]      (V = [past | Xw])
+        queue'  = Xw rolled into slot encoding
 
-    One grid step owns one ``(ct, ft)`` channel-frequency tile and runs the
-    full static P^2 MAC with everything VMEM-resident: queue, Xw and H are
-    each read from HBM exactly ONCE and out/queue' written once — ~P/2 x
-    less traffic than the chunked sliding-window formulation, whose
-    materialised [past|new] concat + hist slices dominated the pod-config
-    render (see docs/PERFORMANCE.md).
-    """
+    One grid step owns one ``(ct, ft)`` channel-frequency tile: queue, xt
+    and H are each read from HBM exactly ONCE, windows are assembled into
+    VMEM scratch, the full static P^2 MAC accumulates in VMEM and
+    out/queue' are written once — the materialised [prev|xt] concat, the
+    multiply-subtract window pass, the [past|new] concat and the sliding
+    hist slices of the XLA formulation (~13 GB at the pod config) all
+    disappear."""
     _, P, C, F = H.shape
     if ct is None:
         ct = 8 if C % 8 == 0 else C
     if ft is None:
-        # 5 resident [2, P, ct, ft] blocks (q, x, h, out, q2), double-
-        # buffered by the pipeline; keep well under the 16 MB VMEM.
-        # Among lane-aligned widths under the budget, pick the one that
-        # minimises total processed lanes (F is often 2^k + 1, so naive
-        # halving leaves a nearly-empty ragged column).
-        per_lane = 5 * 2 * P * ct * 4
+        # 6 resident [2, P, ct, ft] slabs (q, xt, h, out, q2, scratch) —
+        # in/outs double-buffered by the pipeline; keep under ~12 MB VMEM.
+        per_lane = 6 * 2 * P * ct * 4
         cap = max(128, ((5 << 20) // per_lane) // 128 * 128)
         best = None
         for cand in range(128, min(cap, ((F + 127) // 128) * 128) + 1, 128):
@@ -195,18 +214,21 @@ def grouped_rotated_mac_pallas(
     spec = pl.BlockSpec(
         (2, P, ct, ft), lambda c, f: (0, 0, c, f), memory_space=pltpu.VMEM
     )
-    out, q2 = pl.pallas_call(
-        partial(_grouped_kernel, P, slot0),
+    pspec = pl.BlockSpec(
+        (2, ct, ft), lambda c, f: (0, c, f), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_wgrouped_kernel, P, slot0),
         grid=(C // ct, nf),
-        in_specs=[spec, spec, spec],
+        in_specs=[spec, spec, pspec, spec],
         out_specs=[spec, spec],
         out_shape=[
             jax.ShapeDtypeStruct((2, P, C, F), jnp.float32),
             jax.ShapeDtypeStruct((2, P, C, F), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((2, P, ct, ft), jnp.float32)],
         interpret=interpret,
-    )(queue, Xw, H)
-    return out, q2
+    )(queue, xt, prev, H)
 
 
 def _head_kernel(nparts: int, ratio: int, x_ref, h_ref, o_ref):

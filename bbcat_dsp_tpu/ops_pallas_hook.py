@@ -74,12 +74,10 @@ def maybe_fused_head(x, xcarry, prev, H, block: int):
                              interpret=_interpret())
 
 
-def maybe_grouped_mac(queue, Xw, H, slot0: int):
-    """Whole-group tail MAC + rolled queue writeback (render path with a
-    host-known cursor): ``None`` -> caller runs the XLA roll/concat/slide
-    formulation.  Same element gates as the rotated MAC — the kernel's win
-    is the single HBM read of queue/Xw/H, which needs enough elements for
-    the traffic (not the grid overhead) to be the term that matters."""
+def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int):
+    """Window assembly + whole-group tail MAC + rolled queue writeback in
+    one kernel (render path with a host-known cursor): ``None`` -> caller
+    runs the XLA window-assembly + roll/concat/slide formulation."""
     mode = _mode()
     if mode == "0":
         return None
@@ -88,10 +86,10 @@ def maybe_grouped_mac(queue, Xw, H, slot0: int):
         return None
     if mode != "1" and (P < 2 or P * C * F < _ROT_MIN_ELEMS):
         return None
-    from .ops.pallas.spectral_fir import grouped_rotated_mac_pallas
+    from .ops.pallas.spectral_fir import windowed_grouped_mac_pallas
 
-    return grouped_rotated_mac_pallas(queue, Xw, H, slot0,
-                                      interpret=_interpret())
+    return windowed_grouped_mac_pallas(queue, xt, prev, H, slot0,
+                                       interpret=_interpret())
 
 
 def maybe_rotated_mac(queue, H, slot: int):

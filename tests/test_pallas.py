@@ -53,20 +53,25 @@ def test_head_mac_tiled_pallas_matches_xla(rng):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
-def test_grouped_rotated_mac_pallas_matches_reference(rng):
-    """Whole-group MAC kernel == the overlap-save definition
-    out[j] = sum_p V[P+j-p]*H[p] over V=[past|new], for every cursor,
-    and the queue writeback re-encodes the new windows into slots."""
-    from bbcat_dsp_tpu.ops.pallas import grouped_rotated_mac_pallas
+def test_windowed_grouped_mac_pallas_matches_reference(rng):
+    """Whole-group windowed MAC kernel == the overlap-save definition:
+    Xw[j] = xt[j-1] + (-1)^k xt[j] (xt[-1]=prev), out[j] =
+    sum_p V[P+j-p]*H[p] over V=[past|Xw], for every cursor, and the queue
+    writeback re-encodes the assembled windows into slots."""
+    from bbcat_dsp_tpu.ops.pallas import windowed_grouped_mac_pallas
 
     P, C, F = 5, 16, 65
+    signs = (-1.0) ** np.arange(F)
     for slot0 in range(P):
         q = rng.standard_normal((2, P, C, F)).astype(np.float32)
-        xw = rng.standard_normal((2, P, C, F)).astype(np.float32)
+        xt = rng.standard_normal((2, P, C, F)).astype(np.float32)
+        pv = rng.standard_normal((2, C, F)).astype(np.float32)
         h = rng.standard_normal((2, P, C, F)).astype(np.float32)
-        out, q2 = grouped_rotated_mac_pallas(
-            jnp.asarray(q), jnp.asarray(xw), jnp.asarray(h), slot0,
-            interpret=True)
+        out, q2 = windowed_grouped_mac_pallas(
+            jnp.asarray(q), jnp.asarray(xt), jnp.asarray(pv),
+            jnp.asarray(h), slot0, interpret=True)
+        ext = np.concatenate([pv[:, None], xt], axis=1)
+        xw = (ext[:, :-1] + signs * ext[:, 1:]).astype(np.float32)
         past = q[:, (np.arange(P) + slot0) % P]
         V = np.concatenate([past, xw], axis=1)
         Vc, Hc = V[0] + 1j * V[1], h[0] + 1j * h[1]
@@ -74,13 +79,14 @@ def test_grouped_rotated_mac_pallas_matches_reference(rng):
             sum(Vc[P + j - p] * Hc[p] for p in range(P)) for j in range(P)])
         got = np.asarray(out)[0] + 1j * np.asarray(out)[1]
         np.testing.assert_allclose(got, ref, atol=2e-5)
-        np.testing.assert_array_equal(
-            np.asarray(q2), xw[:, (np.arange(P) - slot0) % P])
+        np.testing.assert_allclose(
+            np.asarray(q2), xw[:, (np.arange(P) - slot0) % P], atol=2e-6)
 
 
-def test_grouped_mac_hook_integration(rng, monkeypatch):
-    """The multichannel render path routes its tail group MAC through the
-    grouped kernel under BBCAT_DSP_PALLAS_MAC=1, result unchanged."""
+def test_windowed_grouped_mac_hook_integration(rng, monkeypatch):
+    """The multichannel render path routes its tail group (window assembly
+    + MAC + writeback) through the windowed kernel under
+    BBCAT_DSP_PALLAS_MAC=1, result unchanged."""
     import jax
     import bbcat_dsp_tpu.ops_pallas_hook as hook
     from bbcat_dsp_tpu.convolve import NonUniformConvolver
@@ -96,15 +102,15 @@ def test_grouped_mac_hook_integration(rng, monkeypatch):
     y_ref = np.asarray(a.process(jnp.asarray(x)))
 
     calls = {"n": 0}
-    real = hook.maybe_grouped_mac
+    real = hook.maybe_windowed_grouped_mac
 
-    def counting(queue, Xw, H, slot0):
-        r = real(queue, Xw, H, slot0)
+    def counting(queue, xt, prev, H, slot0):
+        r = real(queue, xt, prev, H, slot0)
         if r is not None:
             calls["n"] += 1
         return r
 
-    monkeypatch.setattr(hook, "maybe_grouped_mac", counting)
+    monkeypatch.setattr(hook, "maybe_windowed_grouped_mac", counting)
     monkeypatch.setenv("BBCAT_DSP_PALLAS_MAC", "1")
     jax.clear_caches()
     b = NonUniformConvolver(ir, block=B, ratio=ratio)
