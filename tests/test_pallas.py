@@ -83,6 +83,58 @@ def test_windowed_grouped_mac_pallas_matches_reference(rng):
             np.asarray(q2), xw[:, (np.arange(P) - slot0) % P], atol=2e-6)
 
 
+def test_fused_head_pallas_matches_unfused(rng):
+    """Fused rFFT->MAC->irFFT head super-kernel == the unfused
+    ``_head_step`` composition (y AND the streaming state outputs), for
+    both carry regimes: R < P (carry partially retained) and R >= P
+    (carry fully replaced by new windows).  Tolerance covers the kernel's
+    manual bf16-split HIGH matmuls vs the CPU float32 DFT (~1e-5 rel)."""
+    import jax
+
+    from bbcat_dsp_tpu.convolve import fft as cfft
+    from bbcat_dsp_tpu.convolve.nonuniform import (
+        _head_mac,
+        _head_spectra,
+    )
+    from bbcat_dsp_tpu.convolve.fft import irfft_tail_planes
+    from bbcat_dsp_tpu.ops.pallas.fused_head import fused_head_pallas
+
+    old_backend = cfft.default_backend
+    cfft.default_backend = lambda: "dftmm"  # match the kernel's DFT path
+    try:
+        P, B, C = 8, 32, 8
+        F = B + 1
+        for R in (4, 8, 16):
+            x = jnp.asarray(
+                rng.standard_normal((C, R * B)).astype(np.float32))
+            xcarry = jnp.asarray(
+                rng.standard_normal((2, P, C, F)).astype(np.float32))
+            prev = jnp.asarray(
+                rng.standard_normal((2, C, F)).astype(np.float32))
+            H = jnp.asarray(
+                rng.standard_normal((2, P, C, F)).astype(np.float32))
+
+            Xnew, prev_ref = _head_spectra(prev, x, B, R)
+            xext = jnp.concatenate([xcarry, Xnew], axis=1)
+            acc = _head_mac(xext, H, R)
+            y_ref = jnp.moveaxis(
+                irfft_tail_planes(acc, 2 * B), 0, 1).reshape(C, R * B)
+            xc_ref = xext[:, -P:]
+
+            y, xco, po = fused_head_pallas(x, xcarry, prev, H, B,
+                                           interpret=True)
+            scale = float(jnp.max(jnp.abs(y_ref))) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(y) / scale, np.asarray(y_ref) / scale, atol=2e-4)
+            np.testing.assert_allclose(
+                np.asarray(xco), np.asarray(xc_ref), atol=5e-4)
+            np.testing.assert_allclose(
+                np.asarray(po), np.asarray(prev_ref), atol=5e-4)
+    finally:
+        cfft.default_backend = old_backend
+        jax.clear_caches()
+
+
 def test_windowed_grouped_mac_hook_integration(rng, monkeypatch):
     """The multichannel render path routes its tail group (window assembly
     + MAC + writeback) through the windowed kernel under
