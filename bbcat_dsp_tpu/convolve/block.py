@@ -34,9 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fft import (
+    half_engine_layout,
     half_window_signs,
     irfft_tail_planes,
+    permute_half_spectrum,
     rfft_half_planes,
+    spectral_nbins,
 )
 
 __all__ = [
@@ -67,7 +70,10 @@ def partition_ir(ir: np.ndarray, block: int, nparts: int | None = None) -> jax.A
 
     ``ir`` is ``[C, N]`` (or ``[N]`` for one channel).  Each partition of
     ``block`` taps is zero-padded to ``2*block`` and rFFT'd
-    (SURVEY.md §3.7).  Computed in float64 on the host, shipped float32.
+    (SURVEY.md §3.7).  Computed in float64 on the host, shipped float32,
+    in the half-window engine's spectral layout for this size
+    (``fft.half_engine_layout`` — permuted bin order for large dftmm
+    sizes, where it removes the four-step transposes).
     """
     ir = np.atleast_2d(np.asarray(ir, np.float64))
     C, N = ir.shape
@@ -80,6 +86,8 @@ def partition_ir(ir: np.ndarray, block: int, nparts: int | None = None) -> jax.A
     padded[:, :N] = ir
     parts = padded.reshape(C, P, block)
     spec = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], -1), axis=-1)
+    if half_engine_layout(2 * block) == "perm":
+        spec = permute_half_spectrum(spec, 2 * block)
     spec = np.moveaxis(spec, 1, 0)  # [P, C, F]
     return jnp.asarray(
         np.stack([spec.real, spec.imag]).astype(np.float32)
@@ -89,9 +97,10 @@ def partition_ir(ir: np.ndarray, block: int, nparts: int | None = None) -> jax.A
 def convolver_init(
     nchannels: int, block: int, nparts: int, dtype=jnp.float32
 ) -> ConvolverState:
+    F = spectral_nbins(2 * block)
     return ConvolverState(
-        queue=jnp.zeros((2, nparts, nchannels, block + 1), dtype),
-        prev=jnp.zeros((2, nchannels, block + 1), dtype),
+        queue=jnp.zeros((2, nparts, nchannels, F), dtype),
+        prev=jnp.zeros((2, nchannels, F), dtype),
         step=jnp.zeros((), jnp.int32),
     )
 

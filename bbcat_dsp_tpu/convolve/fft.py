@@ -38,6 +38,10 @@ __all__ = [
     "default_backend",
     "register_backend",
     "backends",
+    "half_engine_layout",
+    "half_sign_section",
+    "spectral_nbins",
+    "permute_half_spectrum",
 ]
 
 # MXU operand precision for the DFT matmuls.  Measured on the full 64ch x
@@ -226,6 +230,199 @@ def _rfft_halfwin_large(x: jax.Array, n: int, prec=None) -> jax.Array:
     return jnp.stack([zr, zi], axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Permuted-layout half-window engine (the transpose-free large-n path)
+#
+# The partitioned-convolution engines only ever use spectra ELEMENTWISE
+# (window assembly, the partition MAC), so the bin ORDER of the half-window
+# spectral representation is free as long as every party — forward
+# transform, (-1)^k window signs, IR spectra, queue state, inverse — agrees.
+# For n > _MAX_DIRECT the standard four-step pays two HBM-materialised
+# transposes per transform (the swapaxes between stages dominated the
+# config-#5 render: ~35 ms of staged XLA vs a ~5 ms roofline).  The
+# permuted layout removes ALL transposes by splitting n = r * n1 with a
+# tiny OUTER radix r = 8:
+#
+#   forward  (input x[j], j = n2*n1 + n1i, n1 FAST = natural memory view):
+#     stage 1 (VPU):  Y[k2, n1i] = sum_{n2 < r/2} x[n2, n1i] W_r^{n2 k2}
+#                     (half-window: rows n2 >= r/2 are zero; x real)
+#     stage 2 (VPU):  T = Y * W_n^{n1i k2}           (elementwise twiddle)
+#     stage 3 (MXU):  Z[k2, k1] = sum_{n1i} T[k2, n1i] W_n1^{n1i k1}
+#                     — ONE batched matmul, contraction over the LAST axis
+#   storage: bin k = r*k1 + k2 lives at q = k2*(n1/2+1) + k1, k1 <= n1/2.
+#     Bins with k > n/2 (k1 = n1/2, k2 >= 1) hold the conjugate-mirror
+#     values the DFT naturally produces there; the inverse masks them.
+#   window signs: (-1)^k = (-1)^{k2} — constant per k2 section.
+#
+#   inverse tail (y[t], t = t2*n1 + t1, outputs t2 >= r/2 only):
+#     stage A (MXU):  G[k2, t1] = sum_{k1} (w X)[k2, k1] e^{+2pi i k1 t1/n1}
+#                     (w = hermitian-half weights, 0 on the k > n/2 bins)
+#     stage B (VPU):  B = G * e^{+2pi i k2 t1 / n}
+#     stage C (VPU):  y[t2, t1] = Re sum_{k2} B[k2, t1] e^{+2pi i k2 t2/r} / n
+#
+# Everything is elementwise/broadcast + one big MXU matmul per direction;
+# reshapes only split/merge adjacent axes (free).  Numerics match the
+# standard path (same _PREC matmuls) up to summation-order rounding.
+# ---------------------------------------------------------------------------
+
+_PERM_RADIX = 8
+
+
+def _perm_radix(n: int) -> int | None:
+    """Outer radix of the permuted half-window layout for size ``n``, or
+    ``None`` when the standard layout applies (small n, or n1 too big for
+    a direct stage-3 matrix)."""
+    if n <= _MAX_DIRECT or n % (2 * _PERM_RADIX):
+        return None
+    n1 = n // _PERM_RADIX
+    return _PERM_RADIX if n1 <= _MAX_DIRECT and n1 % 2 == 0 else None
+
+
+def half_engine_layout(n: int, backend: str | None = None) -> str:
+    """Spectral layout of the half-window engine pair
+    (:func:`rfft_half_planes` / :func:`irfft_tail_planes`) at size ``n``:
+    ``"std"`` (natural bin order) or ``"perm"`` (r-radix permuted order).
+    Purely a function of (n, resolved backend) so every engine component
+    — forward, signs, IR partitioning, inverse — resolves identically."""
+    b = backend or default_backend()
+    return "perm" if (b == "dftmm" and _perm_radix(n)) else "std"
+
+
+def spectral_nbins(n: int, backend: str | None = None) -> int:
+    """Number of spectral bins the half-window engine stores for FFT size
+    ``n`` (``n//2 + 1`` std; ``r * (n1//2 + 1)`` permuted — includes the
+    r-1 masked conjugate-mirror bins)."""
+    if half_engine_layout(n, backend) == "std":
+        return n // 2 + 1
+    r = _PERM_RADIX
+    return r * (n // r // 2 + 1)
+
+
+def half_sign_section(n: int, backend: str | None = None) -> int:
+    """Section length of the half-window shift signs in the engine's
+    layout: 1 (std, alternating per bin) or ``n1//2 + 1`` (permuted,
+    constant per k2 section).  sign(bin) = (-1)^(bin // section)."""
+    if half_engine_layout(n, backend) == "std":
+        return 1
+    return n // _PERM_RADIX // 2 + 1
+
+
+_PERMC: dict[tuple, tuple] = {}
+
+
+def _perm_consts(n: int):
+    """Numpy constant planes for the permuted engine at size ``n``."""
+    if n not in _PERMC:
+        r = _PERM_RADIX
+        n1 = n // r
+        n1h1 = n1 // 2 + 1
+        k2 = np.arange(r)
+        # stage 1: W_r^{n2 k2}, n2 < r/2 (zero half)
+        a1 = 2.0 * np.pi * np.outer(k2, np.arange(r // 2)) / r
+        s1r, s1i = np.cos(a1), -np.sin(a1)                  # [r, r/2]
+        # stage 2 twiddle: W_n^{k2 n1i}
+        a2 = 2.0 * np.pi * np.outer(k2, np.arange(n1)) / n
+        twr, twi = np.cos(a2), -np.sin(a2)                  # [r, n1]
+        # inverse stage B twiddle: conj
+        # inverse stage A weights (hermitian half + mirror mask), per plane
+        k = r * np.arange(n1h1)[None, :] + k2[:, None]      # [r, n1h1]
+        wr = np.full((r, n1h1), 2.0)
+        wr[0, 0] = 1.0
+        wr[k == n // 2] = 1.0
+        wr[k > n // 2] = 0.0
+        wi = wr.copy()
+        wi[0, 0] = 0.0          # numpy.irfft drops DC/Nyquist imag parts
+        wi[0, n1h1 - 1] = 0.0
+        # inverse stage C phases: e^{+2pi i k2 t2 / r}, t2 in [r/2, r)
+        a3 = 2.0 * np.pi * np.outer(k2, np.arange(r // 2, r)) / r
+        pr, pi = np.cos(a3), np.sin(a3)                     # [r, r/2]
+        _PERMC[n] = tuple(
+            a.astype(np.float32)
+            for a in (s1r, s1i, twr, twi, wr, wi, pr, pi)
+        )
+    return _PERMC[n]
+
+
+def _perm_rfft_half(x: jax.Array, n: int, prec=None) -> jax.Array:
+    """Permuted-layout rFFT of ``[x, zeros]`` (``len(x) == n//2``)."""
+    r = _PERM_RADIX
+    n1 = n // r
+    n1h1 = n1 // 2 + 1
+    m = n // 2
+    T = x.shape[-1]
+    if T < m:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, m - T)])
+    elif T > m:
+        x = x[..., :m]
+    lead = x.shape[:-1]
+    xm = x.reshape(lead + (r // 2, n1))
+    s1r, s1i, twr, twi = _perm_consts(n)[:4]
+    yr = None
+    yi = None
+    for j in range(r // 2):
+        xj = xm[..., j, :][..., None, :]                    # [.., 1, n1]
+        cr = jnp.asarray(s1r[:, j])[:, None]                # [r, 1]
+        ci = jnp.asarray(s1i[:, j])[:, None]
+        yr = xj * cr if yr is None else yr + xj * cr
+        yi = xj * ci if yi is None else yi + xj * ci
+    twr = jnp.asarray(twr)
+    twi = jnp.asarray(twi)
+    tr = yr * twr - yi * twi                                # [.., r, n1]
+    ti = yr * twi + yi * twr
+    cr, ci = _cmats(n1)
+    zr, zi = _cmatmul(tr, ti, jnp.asarray(cr[:, :n1h1]),
+                      jnp.asarray(ci[:, :n1h1]), prec)      # [.., r, n1h1]
+    return jnp.stack([zr.reshape(lead + (r * n1h1,)),
+                      zi.reshape(lead + (r * n1h1,))], axis=0)
+
+
+def _perm_irfft_tail(spec: jax.Array, n: int, prec=None) -> jax.Array:
+    """Inverse of :func:`_perm_rfft_half`'s layout, last ``n//2`` samples."""
+    r = _PERM_RADIX
+    n1 = n // r
+    n1h1 = n1 // 2 + 1
+    lead = spec.shape[1:-1]
+    _, _, twr, twi, wr, wi, pr, pi = _perm_consts(n)
+    Xr = spec[0].reshape(lead + (r, n1h1)) * jnp.asarray(wr)
+    Xi = spec[1].reshape(lead + (r, n1h1)) * jnp.asarray(wi)
+    # stage A: conj-DFT matmul over k1 (E1 = cos + i sin of the n1 matrix)
+    cr, ci = _cmats(n1)
+    e1r = jnp.asarray(cr[:n1h1])          # [n1h1, n1]
+    e1i = jnp.asarray(-ci[:n1h1])         # +sin
+    gr, gi = _cmatmul(Xr, Xi, e1r, e1i, prec)               # [.., r, n1]
+    # stage B: conj twiddle
+    twr = jnp.asarray(twr)
+    twi = jnp.asarray(twi)
+    br = gr * twr + gi * twi
+    bi = gi * twr - gr * twi
+    # stage C: real part of the radix-r recombination, tail t2 only
+    outs = []
+    for t2 in range(r // 2):
+        yr = None
+        for k2 in range(r):
+            term = (br[..., k2, :] * float(pr[k2, t2])
+                    - bi[..., k2, :] * float(pi[k2, t2]))
+            yr = term if yr is None else yr + term
+        outs.append(yr)
+    y = jnp.stack(outs, axis=-2)                            # [.., r/2, n1]
+    return y.reshape(lead + (n // 2,)) / n
+
+
+def permute_half_spectrum(spec: np.ndarray, n: int) -> np.ndarray:
+    """Host-side: standard complex half spectrum ``[.., n//2+1]`` ->
+    permuted-layout complex array ``[.., spectral_nbins]`` (conjugate-mirror
+    values on the k > n/2 bins, matching what the forward DFT produces
+    there)."""
+    r = _PERM_RADIX
+    n1 = n // r
+    n1h1 = n1 // 2 + 1
+    k = r * np.arange(n1h1)[None, :] + np.arange(r)[:, None]  # [r, n1h1]
+    base = np.minimum(k, n - k)
+    vals = spec[..., base]
+    out = np.where(k <= n // 2, vals, np.conj(vals))
+    return out.reshape(spec.shape[:-1] + (r * n1h1,))
+
+
 _PACKW: dict[int, tuple] = {}
 
 
@@ -395,6 +592,8 @@ def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None) -> jax.Ar
         im = jnp.matmul(x, jnp.asarray(msin[:h]), precision=_PREC)
         return jnp.stack([re, im], axis=0)
     if b == "dftmm":
+        if _perm_radix(n):
+            return _perm_rfft_half(x, n)
         T = x.shape[-1]
         if T < n // 2:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n // 2 - T)])
@@ -402,8 +601,15 @@ def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None) -> jax.Ar
     return _BACKENDS[b][0](x, n)
 
 
-def half_window_signs(n: int) -> np.ndarray:
-    """The (-1)^k spectrum signs for the second-half shift ([n//2+1])."""
+def half_window_signs(n: int, backend: str | None = None) -> np.ndarray:
+    """The (-1)^k spectrum signs for the second-half shift, in the
+    half-window engine's layout for size ``n`` (std: alternating over
+    ``n//2+1`` bins; permuted: constant per k2 section)."""
+    if half_engine_layout(n, backend) == "perm":
+        r = _PERM_RADIX
+        n1h1 = n // r // 2 + 1
+        return np.repeat(
+            (1.0 - 2.0 * (np.arange(r) % 2)).astype(np.float32), n1h1)
     s = np.ones(n // 2 + 1, np.float32)
     s[1::2] = -1.0
     return s
@@ -411,8 +617,13 @@ def half_window_signs(n: int) -> np.ndarray:
 
 def irfft_tail_planes(spec: jax.Array, n: int, backend: str | None = None) -> jax.Array:
     """Inverse rFFT returning ONLY the last ``n//2`` samples — all
-    overlap-save ever keeps — at half the inverse-DFT matmul cost."""
+    overlap-save ever keeps — at half the inverse-DFT matmul cost.
+
+    Consumes the layout :func:`rfft_half_planes` produces for ``n``
+    (permuted for large dftmm sizes — see ``half_engine_layout``)."""
     b = backend or default_backend()
+    if b == "dftmm" and _perm_radix(n) and spec.shape[-1] == spectral_nbins(n, "dftmm"):
+        return _perm_irfft_tail(spec, n)
     if b == "dftmm" and n <= _MAX_DIRECT:
         _, _, icos, isin = _mats(n)
         h = n // 2

@@ -49,6 +49,9 @@ def partition_ir_matrix(ir: np.ndarray, block: int, nparts: int | None = None) -
     padded[..., :N] = ir
     parts = padded.reshape(ci, co, P, block)
     spec = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], -1), axis=-1)
+    from .fft import half_engine_layout, permute_half_spectrum
+    if half_engine_layout(2 * block) == "perm":
+        spec = permute_half_spectrum(spec, 2 * block)
     spec = np.moveaxis(spec, 2, 0)  # [P, ci, co, F]
     return jnp.asarray(np.stack([spec.real, spec.imag]).astype(np.float32))
 

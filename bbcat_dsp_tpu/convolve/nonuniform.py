@@ -259,9 +259,11 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
     acc = None
     if tail_slot0 is not None:
         from ..ops_pallas_hook import maybe_windowed_grouped_mac
+        from .fft import half_sign_section
 
         grouped = maybe_windowed_grouped_mac(
-            state.tail.queue, xt, state.tail.prev, H_tail, tail_slot0)
+            state.tail.queue, xt, state.tail.prev, H_tail, tail_slot0,
+            sign_section=half_sign_section(2 * B2))
         if grouped is not None:
             acc, new_queue = grouped
     if acc is None:
@@ -483,7 +485,8 @@ class NonUniformConvolver:
             tail = np.zeros((nchannels, 1))
         self.tail_parts = max(1, -(-tail.shape[1] // self.super_block))
         self.H_tail = partition_ir(tail, self.super_block, self.tail_parts)
-        F = self.block + 1
+        from .fft import spectral_nbins
+        F = spectral_nbins(2 * self.block)
         self.state = NonUniformState(
             xcarry=jnp.zeros((2, self.head_parts, nchannels, F), dtype),
             prev=jnp.zeros((2, nchannels, F), dtype),

@@ -122,16 +122,19 @@ def rotated_mac_pallas(
     )(queue, H)
 
 
-def _wgrouped_kernel(nparts: int, slot0: int, q_ref, xt_ref, pv_ref, h_ref,
+def _wgrouped_kernel(nparts: int, slot0: int, sec: int, ft: int,
+                     q_ref, xt_ref, pv_ref, h_ref,
                      o_ref, q2_ref, xw_ref):
     P = nparts
     # ---- window assembly into VMEM scratch (once per tile):
-    # Xw[j] = xt[j-1] + (-1)^k xt[j], with xt[-1] = prev.  Tiles start at
-    # bin f*ft with ft a multiple of 128, so the (-1)^k pattern always
-    # begins at +1 within a tile.
+    # Xw[j] = xt[j-1] + s[k] xt[j], with xt[-1] = prev.  The shift-theorem
+    # sign is (-1)^k in the STANDARD bin order (sec == 1) and constant per
+    # k2 section of length ``sec`` in the permuted layout — both are
+    # (-1)^(bin // sec) over the GLOBAL bin index (tile start f0 = i*ft).
     shp = xt_ref.shape[-2:]
-    s = (1 - 2 * (jax.lax.broadcasted_iota(jnp.int32, shp, 1) % 2)
-         ).astype(xt_ref.dtype)
+    f0 = pl.program_id(1) * ft
+    gbin = f0 + jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+    s = (1 - 2 * ((gbin // sec) % 2)).astype(xt_ref.dtype)
     for j in range(P):
         if j == 0:
             pr, pi = pv_ref[0], pv_ref[1]
@@ -166,13 +169,15 @@ def _wgrouped_kernel(nparts: int, slot0: int, q_ref, xt_ref, pv_ref, h_ref,
         q2_ref[1, sl] = xw_ref[1, (sl - slot0) % P]
 
 
-@partial(jax.jit, static_argnames=("slot0", "ct", "ft", "interpret"))
+@partial(jax.jit,
+         static_argnames=("slot0", "sign_section", "ct", "ft", "interpret"))
 def windowed_grouped_mac_pallas(
     queue: jax.Array,
     xt: jax.Array,
     prev: jax.Array,
     H: jax.Array,
     slot0: int,
+    sign_section: int = 1,
     ct: int | None = None,
     ft: int | None = None,
     interpret: bool = False,
@@ -218,7 +223,7 @@ def windowed_grouped_mac_pallas(
         (2, ct, ft), lambda c, f: (0, c, f), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        partial(_wgrouped_kernel, P, slot0),
+        partial(_wgrouped_kernel, P, slot0, sign_section, ft),
         grid=(C // ct, nf),
         in_specs=[spec, spec, pspec, spec],
         out_specs=[spec, spec],

@@ -64,6 +64,10 @@ def maybe_fused_head(x, xcarry, prev, H, block: int):
     mode = os.environ.get("BBCAT_DSP_PALLAS_FUSED_HEAD", _mode())
     if mode == "0":
         return None
+    from .convolve.fft import half_engine_layout
+
+    if half_engine_layout(2 * block) != "std":
+        return None  # the kernel's in-VMEM DFT assumes natural bin order
     _, P, C, F = H.shape
     if mode != "1" and (P * C * F < _HEAD_MIN_ELEMS
                         or C < _FUSED_MIN_CH or C % 8):
@@ -74,10 +78,13 @@ def maybe_fused_head(x, xcarry, prev, H, block: int):
                              interpret=_interpret())
 
 
-def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int):
+def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int,
+                               sign_section: int = 1):
     """Window assembly + whole-group tail MAC + rolled queue writeback in
     one kernel (render path with a host-known cursor): ``None`` -> caller
-    runs the XLA window-assembly + roll/concat/slide formulation."""
+    runs the XLA window-assembly + roll/concat/slide formulation.
+    ``sign_section`` is the shift-sign section of the caller's spectral
+    layout (``fft.half_sign_section``)."""
     mode = _mode()
     if mode == "0":
         return None
@@ -89,6 +96,7 @@ def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int):
     from .ops.pallas.spectral_fir import windowed_grouped_mac_pallas
 
     return windowed_grouped_mac_pallas(queue, xt, prev, H, slot0,
+                                       sign_section=sign_section,
                                        interpret=_interpret())
 
 

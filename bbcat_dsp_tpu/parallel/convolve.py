@@ -32,7 +32,7 @@ from ..convolve.block import (
     convolver_render,
     convolver_step,
 )
-from ..convolve.fft import rfft_half_planes, rfft_planes
+from ..convolve.fft import half_window_signs, rfft_half_planes
 
 __all__ = [
     "channel_sharded_step",
@@ -137,7 +137,15 @@ def time_sharded_render(mesh: Mesh, block: int, nparts: int,
             ],
             axis=0,
         )  # [nparts, C, 2B] — window k ends at halo block k
-        spectra = rfft_planes(windows, 2 * block)  # [2, nparts, C, F]
+        # window spectrum via the shift theorem on half-window transforms
+        # (keeps the spectra in the half-window engine's layout — permuted
+        # for large dftmm sizes — so the rebuilt queue matches the
+        # streaming engine's state exactly)
+        s = jnp.asarray(half_window_signs(2 * block))
+        spectra = (
+            rfft_half_planes(windows[..., :block], 2 * block)
+            + s * rfft_half_planes(windows[..., block:], 2 * block)
+        )  # [2, nparts, C, F]
         # queue slot for the block that is p blocks in the past must hold
         # that block's window spectrum.  Start the local stream at
         # step = nparts so slot = (step - p) % nparts: the window ending at

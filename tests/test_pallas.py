@@ -156,8 +156,8 @@ def test_windowed_grouped_mac_hook_integration(rng, monkeypatch):
     calls = {"n": 0}
     real = hook.maybe_windowed_grouped_mac
 
-    def counting(queue, xt, prev, H, slot0):
-        r = real(queue, xt, prev, H, slot0)
+    def counting(queue, xt, prev, H, slot0, **kw):
+        r = real(queue, xt, prev, H, slot0, **kw)
         if r is not None:
             calls["n"] += 1
         return r

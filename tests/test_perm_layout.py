@@ -1,0 +1,179 @@
+"""Permuted-layout half-window engine (the transpose-free large-n path).
+
+For n > _MAX_DIRECT the dftmm backend stores half-window spectra in a
+radix-8 permuted bin order (bin k = 8*k1 + k2 at position k2*(n1/2+1)+k1)
+so both transforms become one batched MXU matmul plus fused elementwise
+stages — no HBM-materialised transposes.  The engines only use spectra
+elementwise, so results must match the standard layout exactly (up to
+summation-order rounding).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bbcat_dsp_tpu.convolve import fft as F
+
+
+def snr_db(ref, got):
+    ref = np.asarray(ref, np.float64)
+    got = np.asarray(got, np.float64)
+    err = np.sum((ref - got) ** 2)
+    if err == 0:
+        return np.inf
+    return 10 * np.log10(np.sum(ref**2) / err)
+
+
+def test_perm_layout_resolution():
+    assert F.half_engine_layout(1024, "dftmm") == "std"
+    assert F.half_engine_layout(8192, "dftmm") == "perm"
+    assert F.half_engine_layout(8192, "xla") == "std"
+    # n1 > _MAX_DIRECT falls back to the std four-step
+    assert F.half_engine_layout(32768, "dftmm") == "std"
+    assert F.spectral_nbins(8192, "dftmm") == 8 * 513
+    assert F.spectral_nbins(1024, "dftmm") == 513
+    assert F.half_sign_section(8192, "dftmm") == 513
+    assert F.half_sign_section(1024, "dftmm") == 1
+
+
+@pytest.mark.parametrize("n", [4096, 8192])
+def test_perm_rfft_half_matches_numpy(rng, n):
+    x = rng.standard_normal((3, n // 2)).astype(np.float32)
+    X = np.fft.rfft(np.concatenate([x, np.zeros_like(x)], -1), axis=-1)
+    exp = F.permute_half_spectrum(X, n)
+    got = np.asarray(F._perm_rfft_half(jnp.asarray(x), n, prec="highest"))
+    gc = got[0] + 1j * got[1]
+    assert np.abs(gc - exp).max() / np.abs(exp).max() < 1e-5
+
+
+@pytest.mark.parametrize("n", [4096, 8192])
+def test_perm_irfft_tail_matches_numpy(rng, n):
+    Fn = n // 2 + 1
+    spec = (rng.standard_normal((3, Fn))
+            + 1j * rng.standard_normal((3, Fn)))
+    y_ref = np.fft.irfft(spec, n=n, axis=-1)[..., n // 2:]
+    ps = F.permute_half_spectrum(spec, n)
+    sp = np.stack([ps.real, ps.imag]).astype(np.float32)
+    got = np.asarray(F._perm_irfft_tail(jnp.asarray(sp), n, prec="highest"))
+    assert np.abs(got - y_ref).max() / np.abs(y_ref).max() < 1e-5
+
+
+def test_perm_signs_shift_theorem(rng):
+    """Window assembly in the permuted layout: Xperm(prev half) +
+    s_perm * Xperm(cur half) == permuted spectrum of the full window."""
+    n = 4096
+    w = rng.standard_normal((2, n)).astype(np.float32)
+    a, b = w[..., : n // 2], w[..., n // 2:]
+    Xa = np.asarray(F._perm_rfft_half(jnp.asarray(a), n, prec="highest"))
+    Xb = np.asarray(F._perm_rfft_half(jnp.asarray(b), n, prec="highest"))
+    s = F.half_window_signs(n, "dftmm")
+    got = Xa + s * Xb
+    exp = F.permute_half_spectrum(np.fft.rfft(w, axis=-1), n)
+    gc = got[0] + 1j * got[1]
+    assert np.abs(gc - exp).max() / np.abs(exp).max() < 1e-5
+
+
+@pytest.fixture
+def force_dftmm(monkeypatch):
+    """Route the default backend to dftmm on CPU so the permuted layout
+    engages exactly as it would on TPU."""
+    monkeypatch.setattr(F, "default_backend", lambda: "dftmm")
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
+
+
+def test_block_convolver_perm_layout_matches_xla(rng, force_dftmm):
+    """Uniform engine at a perm-layout block size: render + streaming
+    steps + click-free swap all agree with the std (xla) path."""
+    from bbcat_dsp_tpu.convolve import BlockConvolver
+
+    B, C = 2048, 2
+    ir = (rng.standard_normal((C, 3 * B)) * 0.3).astype(np.float64)
+    ir2 = (rng.standard_normal((C, 3 * B)) * 0.3).astype(np.float64)
+    x = rng.standard_normal((C, 8 * B)).astype(np.float32)
+
+    conv = BlockConvolver(ir, block=B)
+    assert conv.state.queue.shape[-1] == F.spectral_nbins(2 * B, "dftmm")
+    y1 = np.asarray(conv.process(jnp.asarray(x[:, : 4 * B])))
+    conv.set_filter(ir2)
+    y2 = np.concatenate(
+        [np.asarray(conv.process_block(jnp.asarray(
+            x[:, (4 + k) * B:(5 + k) * B]))) for k in range(4)], axis=-1)
+    got = np.concatenate([y1, y2], axis=-1)
+
+    # std reference via the xla backend
+    import bbcat_dsp_tpu.convolve.fft as fftmod
+    orig = fftmod.default_backend
+    fftmod.default_backend = lambda: "xla"
+    jax.clear_caches()
+    try:
+        ref = BlockConvolver(ir, block=B)
+        r1 = np.asarray(ref.process(jnp.asarray(x[:, : 4 * B])))
+        ref.set_filter(ir2)
+        r2 = np.concatenate(
+            [np.asarray(ref.process_block(jnp.asarray(
+                x[:, (4 + k) * B:(5 + k) * B]))) for k in range(4)], axis=-1)
+        exp = np.concatenate([r1, r2], axis=-1)
+    finally:
+        fftmod.default_backend = orig
+    assert snr_db(exp, got) > 100.0
+
+
+def test_nonuniform_perm_tail_matches_xla(rng, force_dftmm):
+    """Two-level engine whose TAIL runs in the permuted layout: whole
+    renders + small-block streaming interleave match the std path."""
+    from bbcat_dsp_tpu.convolve import NonUniformConvolver
+
+    B, ratio, C = 256, 8, 2
+    B2 = B * ratio  # 2048 -> tail FFT 4096 > _MAX_DIRECT -> perm
+    N = 2 * B2 + 5 * B2  # head + 5 tail partitions
+    ir = (rng.standard_normal((C, N)) * 0.2).astype(np.float64)
+    x = rng.standard_normal((C, 10 * B2)).astype(np.float32)
+
+    conv = NonUniformConvolver(ir, block=B, ratio=ratio)
+    assert conv.state.tail.queue.shape[-1] == F.spectral_nbins(
+        2 * B2, "dftmm")
+    got = np.asarray(conv.process(jnp.asarray(x)))
+
+    import bbcat_dsp_tpu.convolve.fft as fftmod
+    orig = fftmod.default_backend
+    fftmod.default_backend = lambda: "xla"
+    jax.clear_caches()
+    try:
+        ref = NonUniformConvolver(ir, block=B, ratio=ratio)
+        exp = np.asarray(ref.process(jnp.asarray(x)))
+    finally:
+        fftmod.default_backend = orig
+    assert snr_db(exp, got) > 100.0
+
+
+def test_grouped_mac_kernel_perm_signs(rng):
+    """The windowed grouped MAC kernel with a sectioned sign pattern
+    (permuted layout) matches the plain-python reference."""
+    from bbcat_dsp_tpu.ops.pallas import windowed_grouped_mac_pallas
+
+    P, C = 3, 16
+    sec = 129  # pretend n1/2+1 = 129, radix 4 worth of sections
+    Fbins = 4 * sec
+    signs = (1.0 - 2.0 * ((np.arange(Fbins) // sec) % 2)).astype(np.float32)
+    q = rng.standard_normal((2, P, C, Fbins)).astype(np.float32)
+    xt = rng.standard_normal((2, P, C, Fbins)).astype(np.float32)
+    pv = rng.standard_normal((2, C, Fbins)).astype(np.float32)
+    h = rng.standard_normal((2, P, C, Fbins)).astype(np.float32)
+    slot0 = 1
+    out, q2 = windowed_grouped_mac_pallas(
+        jnp.asarray(q), jnp.asarray(xt), jnp.asarray(pv), jnp.asarray(h),
+        slot0, sign_section=sec, interpret=True)
+    ext = np.concatenate([pv[:, None], xt], axis=1)
+    xw = (ext[:, :-1] + signs * ext[:, 1:]).astype(np.float32)
+    past = q[:, (np.arange(P) + slot0) % P]
+    V = np.concatenate([past, xw], axis=1)
+    Vc, Hc = V[0] + 1j * V[1], h[0] + 1j * h[1]
+    ref = np.stack([
+        sum(Vc[P + j - p] * Hc[p] for p in range(P)) for j in range(P)])
+    got = np.asarray(out)[0] + 1j * np.asarray(out)[1]
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(q2), xw[:, (np.arange(P) - slot0) % P], atol=2e-6)
