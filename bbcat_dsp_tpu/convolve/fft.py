@@ -354,6 +354,12 @@ def _perm_rfft_half(x: jax.Array, n: int, prec=None) -> jax.Array:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, m - T)])
     elif T > m:
         x = x[..., :m]
+    if prec is None:  # fused kernel follows the module precision setting
+        from ..ops_pallas_hook import maybe_perm_rfft_half
+
+        out = maybe_perm_rfft_half(x, n)
+        if out is not None:
+            return out
     lead = x.shape[:-1]
     xm = x.reshape(lead + (r // 2, n1))
     s1r, s1i, twr, twi = _perm_consts(n)[:4]
@@ -381,6 +387,12 @@ def _perm_irfft_tail(spec: jax.Array, n: int, prec=None) -> jax.Array:
     r = _PERM_RADIX
     n1 = n // r
     n1h1 = n1 // 2 + 1
+    if prec is None:
+        from ..ops_pallas_hook import maybe_perm_irfft_tail
+
+        out = maybe_perm_irfft_tail(spec, n)
+        if out is not None:
+            return out
     lead = spec.shape[1:-1]
     _, _, twr, twi, wr, wi, pr, pi = _perm_consts(n)
     Xr = spec[0].reshape(lead + (r, n1h1)) * jnp.asarray(wr)

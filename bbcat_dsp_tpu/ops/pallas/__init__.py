@@ -1,5 +1,6 @@
 """Pallas TPU kernels (optional backends for the hot ops)."""
 
+from .perm_fft import perm_irfft_tail_pallas, perm_rfft_half_pallas
 from .spectral_fir import (
     head_mac_tiled_pallas,
     rotated_mac_pallas,
@@ -11,6 +12,8 @@ __all__ = [
     "head_mac_pallas",
     "head_mac_tiled_pallas",
     "pallas_mac_enabled",
+    "perm_irfft_tail_pallas",
+    "perm_rfft_half_pallas",
     "rotated_mac_pallas",
     "windowed_grouped_mac_pallas",
 ]

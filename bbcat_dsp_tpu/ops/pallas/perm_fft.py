@@ -1,0 +1,190 @@
+"""Pallas TPU kernels: permuted-layout half-window transforms.
+
+Fused in-VMEM versions of :func:`bbcat_dsp_tpu.convolve.fft._perm_rfft_half`
+and :func:`_perm_irfft_tail` (see that module's layout derivation).  The
+XLA formulation is already transpose-free, but it materialises the
+radix-stage intermediate (``[.., r, n1]`` complex — ~940 MB per direction
+per render group at the pod config) between the fused elementwise pass and
+the stage matmul.  Here one kernel invocation per row tile keeps every
+intermediate in VMEM: the radix-8 stage unrolls with compile-time
+cos/sin scalars, the twiddle rides the same registers, and the per-k2
+stage matmuls run on the MXU with the fft module's precision semantics
+(HIGH reproduced by manual bf16 operand splitting — Mosaic only lowers
+DEFAULT/HIGHEST — exactly as :mod:`fused_head` does).
+
+Shapes (r = 8, n1 = n // r, n1h1 = n1//2 + 1, m = n//2):
+
+``perm_rfft_half_pallas``:  x3 ``[rows, r//2, n1]`` (a free reshape of the
+half-window ``[rows, m]``) -> spectra ``[2, rows, r, n1h1]`` (a free
+reshape of the flat permuted ``[2, rows, r*n1h1]``).
+
+``perm_irfft_tail_pallas``: spec ``[2, rows, r, n1h1]`` -> tail samples
+``[rows, r//2, n1]`` (free reshape of ``[rows, m]``).
+
+Reference lineage: documented-absent FFT/BlockConvolver capability (ref:
+README:38-51); SURVEY.md §7 hard part #2 (Pallas FFT at speed of light).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["perm_rfft_half_pallas", "perm_irfft_tail_pallas"]
+
+_R = 8
+
+
+def _dot(a, b, prec):
+    if prec == jax.lax.Precision.HIGHEST:
+        return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(ah, bh, preferred_element_type=jnp.float32)
+            + jnp.dot(ah, bl, preferred_element_type=jnp.float32)
+            + jnp.dot(al, bh, preferred_element_type=jnp.float32))
+
+
+def _fwd_kernel(n: int, prec, s1, x_ref, twr_ref, twi_ref, c1r_ref, c1i_ref,
+                o_ref):
+    s1r, s1i = s1
+    for k2 in range(_R):
+        yr = None
+        yi = None
+        for j in range(_R // 2):
+            xj = x_ref[:, j]                      # [rt, n1]
+            cr = float(s1r[k2, j])
+            ci = float(s1i[k2, j])
+            if cr != 0.0:
+                t = xj * cr if cr != 1.0 else xj
+                yr = t if yr is None else yr + t
+            if ci != 0.0:
+                t = xj * ci if ci != 1.0 else xj
+                yi = t if yi is None else yi + t
+        if yi is None:
+            yi = jnp.zeros_like(yr)
+        twr = twr_ref[k2]
+        twi = twi_ref[k2]
+        tr = yr * twr - yi * twi
+        ti = yr * twi + yi * twr
+        c1r = c1r_ref[...]
+        c1i = c1i_ref[...]
+        zr = _dot(tr, c1r, prec) - _dot(ti, c1i, prec)
+        zi = _dot(tr, c1i, prec) + _dot(ti, c1r, prec)
+        o_ref[0, :, k2] = zr
+        o_ref[1, :, k2] = zi
+
+
+@partial(jax.jit, static_argnames=("n", "rt", "interpret"))
+def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
+                          interpret: bool = False) -> jax.Array:
+    """``x3 [rows, r//2, n1]`` -> permuted spectra ``[2, rows, r, n1h1]``."""
+    from ...convolve import fft as _fft
+
+    rows, _, n1 = x3.shape
+    n1h1 = n1 // 2 + 1
+    prec = _fft._PREC
+    s1r, s1i, twr, twi = _fft._perm_consts(n)[:4]
+    cr, ci = _fft._cmats(n1)
+    c1r = jnp.asarray(cr[:, :n1h1])
+    c1i = jnp.asarray(ci[:, :n1h1])
+    if rt is None:
+        rt = 64
+        while rt > 8 and rows % rt:
+            rt //= 2
+        if rows % rt:
+            rt = rows
+    return pl.pallas_call(
+        partial(_fwd_kernel, n, prec, (s1r, s1i)),
+        grid=(rows // rt,),
+        in_specs=[
+            pl.BlockSpec((rt, _R // 2, n1), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_R, n1), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_R, n1), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, n1h1), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n1, n1h1), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, rt, _R, n1h1), lambda r: (0, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, rows, _R, n1h1), jnp.float32),
+        interpret=interpret,
+    )(x3, jnp.asarray(twr), jnp.asarray(twi), c1r, c1i)
+
+
+def _inv_kernel(n: int, prec, pc, s_ref, wr_ref, wi_ref, twr_ref, twi_ref,
+                e1r_ref, e1i_ref, o_ref):
+    pr, pi = pc
+    inv_n = 1.0 / n
+    accs = [None] * (_R // 2)
+    e1r = e1r_ref[...]
+    e1i = e1i_ref[...]
+    for k2 in range(_R):
+        xr = s_ref[0, :, k2] * wr_ref[k2]
+        xi = s_ref[1, :, k2] * wi_ref[k2]
+        gr = _dot(xr, e1r, prec) - _dot(xi, e1i, prec)
+        gi = _dot(xr, e1i, prec) + _dot(xi, e1r, prec)
+        twr = twr_ref[k2]
+        twi = twi_ref[k2]
+        br = gr * twr + gi * twi
+        bi = gi * twr - gr * twi
+        for t2 in range(_R // 2):
+            c_r = float(pr[k2, t2])
+            c_i = float(pi[k2, t2])
+            term = br * c_r - bi * c_i
+            accs[t2] = term if accs[t2] is None else accs[t2] + term
+    for t2 in range(_R // 2):
+        o_ref[:, t2] = accs[t2] * inv_n
+
+
+@partial(jax.jit, static_argnames=("n", "rt", "interpret"))
+def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
+                           interpret: bool = False) -> jax.Array:
+    """``spec [2, rows, r, n1h1]`` -> tail samples ``[rows, r//2, n1]``."""
+    from ...convolve import fft as _fft
+
+    _, rows, _, n1h1 = spec.shape
+    n1 = n // _R
+    prec = _fft._PREC
+    _, _, twr, twi, wr, wi, pr, pi = _fft._perm_consts(n)
+    cr, ci = _fft._cmats(n1)
+    e1r = jnp.asarray(cr[:n1h1])
+    e1i = jnp.asarray(-ci[:n1h1])
+    if rt is None:
+        rt = 64
+        while rt > 8 and rows % rt:
+            rt //= 2
+        if rows % rt:
+            rt = rows
+    consts = pl.BlockSpec((_R, n1), lambda r: (0, 0),
+                          memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((_R, n1h1), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM)
+    espec = pl.BlockSpec((n1h1, n1), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_inv_kernel, n, prec, (pr, pi)),
+        grid=(rows // rt,),
+        in_specs=[
+            pl.BlockSpec((2, rt, _R, n1h1), lambda r: (0, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec, wspec, consts, consts, espec, espec,
+        ],
+        out_specs=pl.BlockSpec((rt, _R // 2, n1), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, _R // 2, n1), jnp.float32),
+        interpret=interpret,
+    )(spec, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(twr),
+      jnp.asarray(twi), e1r, e1i)

@@ -100,6 +100,48 @@ def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int,
                                        interpret=_interpret())
 
 
+def maybe_perm_rfft_half(x, n: int):
+    """Fused permuted-layout half-window forward transform (``None`` ->
+    the XLA formulation in fft._perm_rfft_half runs).  Gated by
+    BBCAT_DSP_PALLAS_PERMFFT (default "0" until the hardware A/B lands;
+    "1" forces, interpreted off-TPU)."""
+    mode = os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "0")
+    if mode == "0":
+        return None
+    lead = x.shape[:-1]
+    m = n // 2
+    rows = 1
+    for d in lead:
+        rows *= int(d)
+    if x.shape[-1] != m or rows < 8 or rows % 8:
+        return None
+    from .ops.pallas.perm_fft import _R, perm_rfft_half_pallas
+
+    n1 = n // _R
+    out = perm_rfft_half_pallas(
+        x.reshape(rows, _R // 2, n1), n, interpret=_interpret())
+    return out.reshape((2,) + tuple(lead) + (_R * (n1 // 2 + 1),))
+
+
+def maybe_perm_irfft_tail(spec, n: int):
+    """Fused permuted-layout tail inverse (``None`` -> XLA path)."""
+    mode = os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "0")
+    if mode == "0":
+        return None
+    lead = spec.shape[1:-1]
+    rows = 1
+    for d in lead:
+        rows *= int(d)
+    if rows < 8 or rows % 8:
+        return None
+    from .ops.pallas.perm_fft import _R, perm_irfft_tail_pallas
+
+    n1 = n // _R
+    out = perm_irfft_tail_pallas(
+        spec.reshape(2, rows, _R, n1 // 2 + 1), n, interpret=_interpret())
+    return out.reshape(tuple(lead) + (n // 2,))
+
+
 def maybe_rotated_mac(queue, H, slot: int):
     """Static-cursor overlap-save MAC hook (uniform/tail engines):
     ``None`` -> caller runs the XLA static-slice formulation."""

@@ -149,6 +149,43 @@ def test_nonuniform_perm_tail_matches_xla(rng, force_dftmm):
     assert snr_db(exp, got) > 100.0
 
 
+@pytest.mark.parametrize("n", [4096, 8192])
+def test_perm_fft_pallas_kernels_match_xla(rng, n, monkeypatch):
+    """Fused Pallas permuted transforms (interpret mode) == the XLA
+    formulation, forward and inverse, including through the hook."""
+    rows = 16
+    x = rng.standard_normal((rows, n // 2)).astype(np.float32)
+    spec_in = rng.standard_normal((2, rows, F.spectral_nbins(n, "dftmm"))
+                                  ).astype(np.float32)
+
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "0")
+    ref_f = np.asarray(F._perm_rfft_half(jnp.asarray(x), n))
+    ref_i = np.asarray(F._perm_irfft_tail(jnp.asarray(spec_in), n))
+
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "1")
+    jax.clear_caches()
+    got_f = np.asarray(F._perm_rfft_half(jnp.asarray(x), n))
+    got_i = np.asarray(F._perm_irfft_tail(jnp.asarray(spec_in), n))
+    jax.clear_caches()
+
+    sf = np.abs(ref_f).max()
+    si = np.abs(ref_i).max()
+    # kernel reproduces HIGH precision by manual bf16 operand splitting;
+    # XLA's HIGH is the same 3-pass scheme, residual ~1e-6 relative
+    np.testing.assert_allclose(got_f / sf, ref_f / sf, atol=5e-6)
+    np.testing.assert_allclose(got_i / si, ref_i / si, atol=5e-6)
+
+    # leading-dim handling through the engine-shaped call [P, C, m]
+    x4 = rng.standard_normal((4, 4, n // 2)).astype(np.float32)
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "0")
+    ref4 = np.asarray(F._perm_rfft_half(jnp.asarray(x4), n))
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "1")
+    jax.clear_caches()
+    got4 = np.asarray(F._perm_rfft_half(jnp.asarray(x4), n))
+    jax.clear_caches()
+    np.testing.assert_allclose(got4 / sf, ref4 / sf, atol=5e-6)
+
+
 def test_grouped_mac_kernel_perm_signs(rng):
     """The windowed grouped MAC kernel with a sectioned sign pattern
     (permuted layout) matches the plain-python reference."""
