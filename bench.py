@@ -82,6 +82,35 @@ def _emit(note: str | None = None) -> None:
 
 
 _fired = 0
+_DONE = False
+
+
+def _thread_backstop() -> None:
+    """SIGALRM handlers only run when the main thread executes Python
+    bytecode; a relay call that never returns (observed: backend init
+    hanging indefinitely during a relay outage) would wedge them and the
+    driver would get NO line at all.  Daemon timer threads are immune:
+    they emit the best-so-far line and hard-exit from the timer thread.
+    Armed slightly after the signal deadlines so they only act when the
+    signal path is wedged."""
+    import threading
+
+    def interim():
+        if not _DONE and _fired == 0:
+            _emit(note=f"TPU relay unresponsive at {_WATCHDOG_S + 30}s "
+                       "(thread backstop)")
+
+    def final():
+        if not _DONE:
+            _emit(note="TPU relay wedged; thread-backstop exit")
+            os._exit(0)
+
+    for t in (
+        threading.Timer(_WATCHDOG_S + 30, interim),
+        threading.Timer(_WATCHDOG_S + _WATCHDOG_EXTRA_S + 30, final),
+    ):
+        t.daemon = True
+        t.start()
 
 
 def _watchdog(signum, frame):  # noqa: ARG001
@@ -126,6 +155,7 @@ def _golden_ref(x0: np.ndarray, ir0: np.ndarray) -> np.ndarray:
 def main() -> None:
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(_WATCHDOG_S)
+    _thread_backstop()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -256,6 +286,8 @@ def main() -> None:
     )
 
     _BEST["stage"] = "done"
+    global _DONE
+    _DONE = True
     signal.alarm(0)
     _emit()
 
@@ -264,6 +296,7 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # noqa: BLE001 — any failure still yields a line
+        _DONE = True
         signal.alarm(0)
         _emit(note=f"exception: {type(e).__name__}: {e}")
         sys.exit(0)

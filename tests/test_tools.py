@@ -125,6 +125,33 @@ def test_bench_watchdog_emits_parseable_line():
     assert out["value"] is None and out["approx"] is True and "note" in out
 
 
+def test_bench_thread_backstop_fires_when_main_wedged():
+    """The daemon-timer backstop must emit a parseable line and exit even
+    when the main thread never returns from a blocking call (SIGALRM
+    handlers only run between bytecodes of the MAIN thread, so a wedged
+    relay call would starve them — observed during a relay outage)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys, time; sys.path.insert(0, %r); import bench; "
+        "bench._WATCHDOG_S = -29; bench._WATCHDOG_EXTRA_S = 1; "
+        "bench._BEST.update(rtf=33.3, stage='slope'); "
+        "bench._thread_backstop(); time.sleep(120)" % root
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [json.loads(ln) for ln in r.stdout.strip().splitlines()]
+    assert lines[-1]["value"] == 33.3
+    assert lines[-1]["approx"] is True
+
+
 def test_bench_watchdog_emits_best_so_far():
     """If ANY timing completed before the stall, the watchdog must emit that
     best-so-far lower bound (flagged approx), never a null value — a stalled
