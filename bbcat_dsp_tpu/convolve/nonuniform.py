@@ -230,18 +230,25 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
     B = block
     B2 = B * ratio
 
-    # ---- head: chunked batched evaluation (state chains through chunks)
+    # ---- head: whole-group fused kernel when gated (time-gridded, H and
+    # carry VMEM-resident across the group); else chunked batched chain
     n_small = Pt * ratio
-    hc = _choose_chunk(
-        n_small, 16 if C >= 512 else (32 if C >= 128 else n_small)
-    )
-    xcarry, prev = state.xcarry, state.prev
-    y_heads = []
-    for c0 in range(0, n_small, hc):
-        xch = jax.lax.slice_in_dim(xg, c0 * B, (c0 + hc) * B, axis=-1)
-        yh, xcarry, prev = _head_step(xcarry, prev, H_head, xch, B, hc)
-        y_heads.append(yh)
-    y_head = jnp.concatenate(y_heads, axis=-1)           # [C, Pt*B2]
+    from ..ops_pallas_hook import maybe_fused_head
+
+    fused = maybe_fused_head(xg, state.xcarry, state.prev, H_head, B)
+    if fused is not None:
+        y_head, xcarry, prev = fused
+    else:
+        hc = _choose_chunk(
+            n_small, 16 if C >= 512 else (32 if C >= 128 else n_small)
+        )
+        xcarry, prev = state.xcarry, state.prev
+        y_heads = []
+        for c0 in range(0, n_small, hc):
+            xch = jax.lax.slice_in_dim(xg, c0 * B, (c0 + hc) * B, axis=-1)
+            yh, xcarry, prev = _head_step(xcarry, prev, H_head, xch, B, hc)
+            y_heads.append(yh)
+        y_head = jnp.concatenate(y_heads, axis=-1)       # [C, Pt*B2]
 
     # ---- tail: one batched window transform + chunked batched MAC
     xsup = jnp.moveaxis(xg.reshape(C, Pt, B2), 1, 0)     # [Pt, C, B2]

@@ -130,6 +130,30 @@ def test_fused_head_pallas_matches_unfused(rng):
                 np.asarray(xco), np.asarray(xc_ref), atol=5e-4)
             np.testing.assert_allclose(
                 np.asarray(po), np.asarray(prev_ref), atol=5e-4)
+
+        # time-gridded long batch (internal chunking, carry resident in
+        # the output block) == chaining single-chunk calls
+        x = jnp.asarray(
+            rng.standard_normal((C, 32 * B)).astype(np.float32))
+        xcarry = jnp.asarray(
+            rng.standard_normal((2, P, C, F)).astype(np.float32))
+        prev = jnp.asarray(rng.standard_normal((2, C, F)).astype(np.float32))
+        H = jnp.asarray(
+            rng.standard_normal((2, P, C, F)).astype(np.float32))
+        y1, xc1, pv1 = fused_head_pallas(x[:, :16 * B], xcarry, prev, H, B,
+                                         interpret=True)
+        y2, xc2, pv2 = fused_head_pallas(x[:, 16 * B:], xc1, pv1, H, B,
+                                         interpret=True)
+        yg, xcg, pvg = fused_head_pallas(x, xcarry, prev, H, B,
+                                         interpret=True)
+        exp = jnp.concatenate([y1, y2], axis=-1)
+        scale = float(jnp.max(jnp.abs(exp))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(yg) / scale, np.asarray(exp) / scale, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(xcg), np.asarray(xc2),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pvg), np.asarray(pv2),
+                                   atol=1e-5)
     finally:
         cfft.default_backend = old_backend
         jax.clear_caches()
