@@ -6,6 +6,7 @@ from .mesh import make_mesh, channel_sharding, shard_channels
 from .convolve import (
     channel_sharded_step,
     channel_sharded_render,
+    channel_sharded_nonuniform_render,
     time_sharded_render,
 )
 from .loudness import sharded_integrated_loudness
@@ -16,6 +17,7 @@ __all__ = [
     "shard_channels",
     "channel_sharded_step",
     "channel_sharded_render",
+    "channel_sharded_nonuniform_render",
     "time_sharded_render",
     "sharded_integrated_loudness",
 ]

@@ -37,6 +37,7 @@ from ..convolve.fft import half_window_signs, rfft_half_planes
 __all__ = [
     "channel_sharded_step",
     "channel_sharded_render",
+    "channel_sharded_nonuniform_render",
     "time_sharded_render",
 ]
 
@@ -89,6 +90,47 @@ def channel_sharded_render(mesh: Mesh, block: int, axis_name: str = "ch"):
     )
     def _render(state, H, x):
         return convolver_render(state, H, x, block)
+
+    return jax.jit(_render, donate_argnums=(0,))
+
+
+def channel_sharded_nonuniform_render(mesh: Mesh, block: int,
+                                      axis_name: str = "ch",
+                                      tail_slot0: int | None = None):
+    """Channel-sharded render for the NON-UNIFORM (two-level) engine — the
+    pod config's flagship path (BASELINE.json config #5: 1024 ch shard to
+    N hosts with zero cross-device communication).
+
+    Every state leaf, both IR spectra stacks and the signal shard their
+    channel axis; each device runs the identical
+    :func:`bbcat_dsp_tpu.convolve.nonuniform._render_impl` (Pallas group
+    kernels engage per shard where their gates allow).  Returns a jitted
+    ``(state, H_head, H_tail, x) -> (state, y)``.
+    """
+    from ..convolve.nonuniform import NonUniformState, _render_impl
+
+    state_spec = NonUniformState(
+        xcarry=P(None, None, axis_name, None),
+        prev=P(None, axis_name, None),
+        tail=ConvolverState(
+            queue=P(None, None, axis_name, None),
+            prev=P(None, axis_name, None),
+            step=P(),
+        ),
+        pending=P(None, axis_name, None),
+    )
+    h_spec = P(None, None, axis_name, None)
+    x_spec = P(axis_name, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(state_spec, h_spec, h_spec, x_spec),
+        out_specs=(state_spec, x_spec),
+        check_vma=False,
+    )
+    def _render(state, H_head, H_tail, x):
+        return _render_impl(state, H_head, H_tail, x, block, tail_slot0)
 
     return jax.jit(_render, donate_argnums=(0,))
 
