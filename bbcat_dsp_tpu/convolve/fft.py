@@ -282,8 +282,14 @@ def half_engine_layout(n: int, backend: str | None = None) -> str:
     """Spectral layout of the half-window engine pair
     (:func:`rfft_half_planes` / :func:`irfft_tail_planes`) at size ``n``:
     ``"std"`` (natural bin order) or ``"perm"`` (r-radix permuted order).
-    Purely a function of (n, resolved backend) so every engine component
-    — forward, signs, IR partitioning, inverse — resolves identically."""
+    Purely a function of (n, resolved backend, BBCAT_DSP_PERM_LAYOUT) so
+    every engine component — forward, signs, IR partitioning, inverse —
+    resolves identically.  BBCAT_DSP_PERM_LAYOUT=0 forces std (A/B
+    toggle); default engages perm wherever it applies."""
+    import os
+
+    if os.environ.get("BBCAT_DSP_PERM_LAYOUT", "auto") == "0":
+        return "std"
     b = backend or default_backend()
     return "perm" if (b == "dftmm" and _perm_radix(n)) else "std"
 
@@ -604,7 +610,7 @@ def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None) -> jax.Ar
         im = jnp.matmul(x, jnp.asarray(msin[:h]), precision=_PREC)
         return jnp.stack([re, im], axis=0)
     if b == "dftmm":
-        if _perm_radix(n):
+        if half_engine_layout(n, b) == "perm":
             return _perm_rfft_half(x, n)
         T = x.shape[-1]
         if T < n // 2:
@@ -634,7 +640,8 @@ def irfft_tail_planes(spec: jax.Array, n: int, backend: str | None = None) -> ja
     Consumes the layout :func:`rfft_half_planes` produces for ``n``
     (permuted for large dftmm sizes — see ``half_engine_layout``)."""
     b = backend or default_backend()
-    if b == "dftmm" and _perm_radix(n) and spec.shape[-1] == spectral_nbins(n, "dftmm"):
+    if (b == "dftmm" and half_engine_layout(n, b) == "perm"
+            and spec.shape[-1] == spectral_nbins(n, b)):
         return _perm_irfft_tail(spec, n)
     if b == "dftmm" and n <= _MAX_DIRECT:
         _, _, icos, isin = _mats(n)
