@@ -186,6 +186,48 @@ def test_perm_fft_pallas_kernels_match_xla(rng, n, monkeypatch):
     np.testing.assert_allclose(got4 / sf, ref4 / sf, atol=5e-6)
 
 
+def test_nonuniform_perm_crossfade_matches_xla(rng, force_dftmm):
+    """Click-free IR exchange with the tail in the permuted layout:
+    super-block streaming with a mid-stream set_filter matches the std
+    path, and the small-block low-latency mode stays consistent."""
+    from bbcat_dsp_tpu.convolve import NonUniformConvolver
+
+    B, ratio, C = 256, 8, 2
+    B2 = B * ratio
+    N = 2 * B2 + 3 * B2
+    ir1 = (rng.standard_normal((C, N)) * 0.2).astype(np.float64)
+    ir2 = (rng.standard_normal((C, N)) * 0.2).astype(np.float64)
+    x = rng.standard_normal((C, 8 * B2)).astype(np.float32)
+
+    def run(conv):
+        ys = []
+        for j in range(4):
+            ys.append(np.asarray(conv.process_block(
+                jnp.asarray(x[:, j * B2:(j + 1) * B2]))))
+        conv.set_filter(ir2)
+        for j in range(4, 6):
+            ys.append(np.asarray(conv.process_block(
+                jnp.asarray(x[:, j * B2:(j + 1) * B2]))))
+        # small-block streaming continues from the same state
+        for k in range(ratio):
+            s = 6 * B2 + k * B
+            ys.append(np.asarray(conv.process_small_block(
+                jnp.asarray(x[:, s:s + B]))))
+        return np.concatenate(ys, axis=-1)
+
+    got = run(NonUniformConvolver(ir1, block=B, ratio=ratio))
+
+    import bbcat_dsp_tpu.convolve.fft as fftmod
+    orig = fftmod.default_backend
+    fftmod.default_backend = lambda: "xla"
+    jax.clear_caches()
+    try:
+        exp = run(NonUniformConvolver(ir1, block=B, ratio=ratio))
+    finally:
+        fftmod.default_backend = orig
+    assert snr_db(exp, got) > 100.0
+
+
 def test_grouped_mac_kernel_perm_signs(rng):
     """The windowed grouped MAC kernel with a sectioned sign pattern
     (permuted layout) matches the plain-python reference."""
