@@ -148,8 +148,20 @@ def _balanced_factors(n: int) -> tuple[int, int]:
 
 
 def _cmatmul(ar, ai, br, bi, prec=None):
-    """(ar + i ai) @ (br + i bi) with configurable-precision real matmuls."""
+    """(ar + i ai) @ (br + i bi) with configurable-precision real matmuls.
+
+    BBCAT_DSP_CMATMUL=karatsuba switches to the 3-matmul formulation
+    (re = t1 - t2, im = (ar+ai)@(br+bi) - t1 - t2) — 25% fewer MXU flops
+    at ~1.5x the rounding of the classic 4-matmul form (A/B toggle;
+    classic is the default until the hardware A/B lands)."""
+    import os
+
     p = prec or _PREC
+    if os.environ.get("BBCAT_DSP_CMATMUL", "classic") == "karatsuba":
+        t1 = jnp.matmul(ar, br, precision=p)
+        t2 = jnp.matmul(ai, bi, precision=p)
+        t3 = jnp.matmul(ar + ai, br + bi, precision=p)
+        return t1 - t2, t3 - t1 - t2
     rr = jnp.matmul(ar, br, precision=p) - jnp.matmul(ai, bi, precision=p)
     ri = jnp.matmul(ar, bi, precision=p) + jnp.matmul(ai, br, precision=p)
     return rr, ri
