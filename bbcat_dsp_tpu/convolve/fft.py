@@ -335,9 +335,16 @@ def _perm_consts(n: int):
         n1 = n // r
         n1h1 = n1 // 2 + 1
         k2 = np.arange(r)
-        # stage 1: W_r^{n2 k2}, n2 < r/2 (zero half)
+        # stage 1: W_r^{n2 k2}, n2 < r/2 (zero half).  Snap the entries
+        # that are exactly 0/+-1 in exact arithmetic (np.cos(pi/2) etc.
+        # carry ~1e-16 residues) so the kernels' strength-reduction
+        # guards (skip zero terms, skip unit multiplies) actually fire.
         a1 = 2.0 * np.pi * np.outer(k2, np.arange(r // 2)) / r
         s1r, s1i = np.cos(a1), -np.sin(a1)                  # [r, r/2]
+        for t in (s1r, s1i):
+            t[np.abs(t) < 1e-12] = 0.0
+            t[np.abs(t - 1.0) < 1e-12] = 1.0
+            t[np.abs(t + 1.0) < 1e-12] = -1.0
         # stage 2 twiddle: W_n^{k2 n1i}
         a2 = 2.0 * np.pi * np.outer(k2, np.arange(n1)) / n
         twr, twi = np.cos(a2), -np.sin(a2)                  # [r, n1]

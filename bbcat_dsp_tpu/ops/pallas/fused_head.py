@@ -34,28 +34,17 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .common import precise_dot
 
 __all__ = ["fused_head_pallas"]
 
 def _dot(a, b):
     from ...convolve import fft as _fft
 
-    if _fft._PREC == jax.lax.Precision.HIGHEST:
-        return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-    # Mosaic only lowers DEFAULT/HIGHEST dot precision; reproduce HIGH
-    # (XLA's 3-pass bf16 operand splitting) manually — ~2x cheaper than
-    # HIGHEST on the MXU at the same ~1.2e-5 operand error
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (jnp.dot(ah, bh, preferred_element_type=jnp.float32)
-            + jnp.dot(ah, bl, preferred_element_type=jnp.float32)
-            + jnp.dot(al, bh, preferred_element_type=jnp.float32))
+    return precise_dot(a, b, _fft._PREC)
 
 
 def _kernel(P: int, R: int, B: int, F: int, ct: int,

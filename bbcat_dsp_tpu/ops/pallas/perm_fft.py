@@ -31,26 +31,19 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .common import precise_dot as _dot
 
 __all__ = ["perm_rfft_half_pallas", "perm_irfft_tail_pallas"]
 
 _R = 8
-
-
-def _dot(a, b, prec):
-    if prec == jax.lax.Precision.HIGHEST:
-        return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-    return (jnp.dot(ah, bh, preferred_element_type=jnp.float32)
-            + jnp.dot(ah, bl, preferred_element_type=jnp.float32)
-            + jnp.dot(al, bh, preferred_element_type=jnp.float32))
+# Largest n whose stage matrices fit the kernels' VMEM budget: the
+# [n1, n1h1] constant pair is 4.2 MB at n=8192 but 16.8 MB at n=16384
+# (n1=2048), past the ~16 MB scoped-vmem limit before any data blocks.
+# The hooks gate on this; the XLA formulation serves larger sizes.
+MAX_KERNEL_N = 8192
 
 
 def _fwd_kernel(n: int, prec, s1, x_ref, twr_ref, twi_ref, c1r_ref, c1i_ref,

@@ -113,7 +113,9 @@ def maybe_perm_rfft_half(x, n: int):
     rows = 1
     for d in lead:
         rows *= int(d)
-    if x.shape[-1] != m or rows < 8 or rows % 8:
+    from .ops.pallas.perm_fft import MAX_KERNEL_N
+
+    if n > MAX_KERNEL_N or x.shape[-1] != m or rows < 8 or rows % 8:
         return None
     from .ops.pallas.perm_fft import _R, perm_rfft_half_pallas
 
@@ -132,7 +134,9 @@ def maybe_perm_irfft_tail(spec, n: int):
     rows = 1
     for d in lead:
         rows *= int(d)
-    if rows < 8 or rows % 8:
+    from .ops.pallas.perm_fft import MAX_KERNEL_N
+
+    if n > MAX_KERNEL_N or rows < 8 or rows % 8:
         return None
     from .ops.pallas.perm_fft import _R, perm_irfft_tail_pallas
 

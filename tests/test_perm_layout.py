@@ -74,6 +74,30 @@ def test_perm_signs_shift_theorem(rng):
     assert np.abs(gc - exp).max() / np.abs(exp).max() < 1e-5
 
 
+def test_cmatmul_karatsuba_matches_classic(rng, monkeypatch):
+    """BBCAT_DSP_CMATMUL=karatsuba (3 real matmuls) == the classic 4-matmul
+    complex multiply, across the transforms that use it."""
+    n = 8192
+    x = rng.standard_normal((4, n // 2)).astype(np.float32)
+    spec = rng.standard_normal(
+        (2, 4, F.spectral_nbins(n, "dftmm"))).astype(np.float32)
+
+    monkeypatch.setenv("BBCAT_DSP_CMATMUL", "classic")
+    f_ref = np.asarray(F._perm_rfft_half(jnp.asarray(x), n, prec="highest"))
+    i_ref = np.asarray(F._perm_irfft_tail(jnp.asarray(spec), n,
+                                          prec="highest"))
+    monkeypatch.setenv("BBCAT_DSP_CMATMUL", "karatsuba")
+    jax.clear_caches()
+    f_got = np.asarray(F._perm_rfft_half(jnp.asarray(x), n, prec="highest"))
+    i_got = np.asarray(F._perm_irfft_tail(jnp.asarray(spec), n,
+                                          prec="highest"))
+    jax.clear_caches()
+    sf = np.abs(f_ref).max()
+    si = np.abs(i_ref).max()
+    np.testing.assert_allclose(f_got / sf, f_ref / sf, atol=2e-6)
+    np.testing.assert_allclose(i_got / si, i_ref / si, atol=2e-6)
+
+
 @pytest.fixture
 def force_dftmm(monkeypatch):
     """Route the default backend to dftmm on CPU so the permuted layout
