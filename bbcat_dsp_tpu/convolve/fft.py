@@ -283,11 +283,25 @@ _PERM_RADIX = 8
 def _perm_radix(n: int) -> int | None:
     """Outer radix of the permuted half-window layout for size ``n``, or
     ``None`` when the standard layout applies (small n, or n1 too big for
-    a direct stage-3 matrix)."""
-    if n <= _MAX_DIRECT or n % (2 * _PERM_RADIX):
+    a direct stage-3 matrix).
+
+    BBCAT_DSP_PERM_RADIX selects the radix (default 8; 16 halves the
+    dominant stage-matmul flops at ~2x the tiny VPU radix stage — A/B on
+    hardware).  Falls back to 8, then std, when the requested radix does
+    not divide ``n`` suitably."""
+    if n <= _MAX_DIRECT:
         return None
-    n1 = n // _PERM_RADIX
-    return _PERM_RADIX if n1 <= _MAX_DIRECT and n1 % 2 == 0 else None
+    import os
+
+    try:
+        want = int(os.environ.get("BBCAT_DSP_PERM_RADIX", "8"))
+    except ValueError:
+        want = 8
+    for r in (want, _PERM_RADIX):
+        if (r >= 4 and n % (2 * r) == 0 and n // r <= _MAX_DIRECT
+                and (n // r) % 2 == 0):
+            return r
+    return None
 
 
 def half_engine_layout(n: int, backend: str | None = None) -> str:
@@ -312,7 +326,7 @@ def spectral_nbins(n: int, backend: str | None = None) -> int:
     r-1 masked conjugate-mirror bins)."""
     if half_engine_layout(n, backend) == "std":
         return n // 2 + 1
-    r = _PERM_RADIX
+    r = _perm_radix(n)
     return r * (n // r // 2 + 1)
 
 
@@ -322,16 +336,18 @@ def half_sign_section(n: int, backend: str | None = None) -> int:
     constant per k2 section).  sign(bin) = (-1)^(bin // section)."""
     if half_engine_layout(n, backend) == "std":
         return 1
-    return n // _PERM_RADIX // 2 + 1
+    return n // _perm_radix(n) // 2 + 1
 
 
 _PERMC: dict[tuple, tuple] = {}
 
 
 def _perm_consts(n: int):
-    """Numpy constant planes for the permuted engine at size ``n``."""
-    if n not in _PERMC:
-        r = _PERM_RADIX
+    """Numpy constant planes for the permuted engine at size ``n``
+    (keyed by (n, radix) — the radix is env-selectable)."""
+    r = _perm_radix(n)
+    key = (n, r)
+    if key not in _PERMC:
         n1 = n // r
         n1h1 = n1 // 2 + 1
         k2 = np.arange(r)
@@ -361,16 +377,16 @@ def _perm_consts(n: int):
         # inverse stage C phases: e^{+2pi i k2 t2 / r}, t2 in [r/2, r)
         a3 = 2.0 * np.pi * np.outer(k2, np.arange(r // 2, r)) / r
         pr, pi = np.cos(a3), np.sin(a3)                     # [r, r/2]
-        _PERMC[n] = tuple(
+        _PERMC[key] = tuple(
             a.astype(np.float32)
             for a in (s1r, s1i, twr, twi, wr, wi, pr, pi)
         )
-    return _PERMC[n]
+    return _PERMC[key]
 
 
 def _perm_rfft_half(x: jax.Array, n: int, prec=None) -> jax.Array:
     """Permuted-layout rFFT of ``[x, zeros]`` (``len(x) == n//2``)."""
-    r = _PERM_RADIX
+    r = _perm_radix(n)
     n1 = n // r
     n1h1 = n1 // 2 + 1
     m = n // 2
@@ -409,7 +425,7 @@ def _perm_rfft_half(x: jax.Array, n: int, prec=None) -> jax.Array:
 
 def _perm_irfft_tail(spec: jax.Array, n: int, prec=None) -> jax.Array:
     """Inverse of :func:`_perm_rfft_half`'s layout, last ``n//2`` samples."""
-    r = _PERM_RADIX
+    r = _perm_radix(n)
     n1 = n // r
     n1h1 = n1 // 2 + 1
     if prec is None:
@@ -450,7 +466,7 @@ def permute_half_spectrum(spec: np.ndarray, n: int) -> np.ndarray:
     permuted-layout complex array ``[.., spectral_nbins]`` (conjugate-mirror
     values on the k > n/2 bins, matching what the forward DFT produces
     there)."""
-    r = _PERM_RADIX
+    r = _perm_radix(n)
     n1 = n // r
     n1h1 = n1 // 2 + 1
     k = r * np.arange(n1h1)[None, :] + np.arange(r)[:, None]  # [r, n1h1]
@@ -643,7 +659,7 @@ def half_window_signs(n: int, backend: str | None = None) -> np.ndarray:
     half-window engine's layout for size ``n`` (std: alternating over
     ``n//2+1`` bins; permuted: constant per k2 section)."""
     if half_engine_layout(n, backend) == "perm":
-        r = _PERM_RADIX
+        r = _perm_radix(n)
         n1h1 = n // r // 2 + 1
         return np.repeat(
             (1.0 - 2.0 * (np.arange(r) % 2)).astype(np.float32), n1h1)

@@ -38,21 +38,21 @@ from .common import precise_dot as _dot
 
 __all__ = ["perm_rfft_half_pallas", "perm_irfft_tail_pallas"]
 
-_R = 8
-# Largest n whose stage matrices fit the kernels' VMEM budget: the
-# [n1, n1h1] constant pair is 4.2 MB at n=8192 but 16.8 MB at n=16384
-# (n1=2048), past the ~16 MB scoped-vmem limit before any data blocks.
-# The hooks gate on this; the XLA formulation serves larger sizes.
-MAX_KERNEL_N = 8192
+# Largest inner-transform length whose stage matrices fit the kernels'
+# VMEM budget: the [n1, n1h1] constant pair is 4.2 MB at n1=1024 but
+# 16.8 MB at n1=2048, past the ~16 MB scoped-vmem limit before any data
+# blocks.  The hooks gate on this; the XLA formulation serves larger
+# sizes.
+MAX_KERNEL_N1 = 1024
 
 
-def _fwd_kernel(n: int, prec, s1, x_ref, twr_ref, twi_ref, c1r_ref, c1i_ref,
-                o_ref):
+def _fwd_kernel(n: int, r: int, prec, s1, x_ref, twr_ref, twi_ref,
+                c1r_ref, c1i_ref, o_ref):
     s1r, s1i = s1
-    for k2 in range(_R):
+    for k2 in range(r):
         yr = None
         yi = None
-        for j in range(_R // 2):
+        for j in range(r // 2):
             xj = x_ref[:, j]                      # [rt, n1]
             cr = float(s1r[k2, j])
             ci = float(s1i[k2, j])
@@ -82,7 +82,8 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
     """``x3 [rows, r//2, n1]`` -> permuted spectra ``[2, rows, r, n1h1]``."""
     from ...convolve import fft as _fft
 
-    rows, _, n1 = x3.shape
+    rows, rh, n1 = x3.shape
+    r = 2 * rh
     n1h1 = n1 // 2 + 1
     prec = _fft._PREC
     s1r, s1i, twr, twi = _fft._perm_consts(n)[:4]
@@ -96,35 +97,35 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
         if rows % rt:
             rt = rows
     return pl.pallas_call(
-        partial(_fwd_kernel, n, prec, (s1r, s1i)),
+        partial(_fwd_kernel, n, r, prec, (s1r, s1i)),
         grid=(rows // rt,),
         in_specs=[
-            pl.BlockSpec((rt, _R // 2, n1), lambda r: (r, 0, 0),
+            pl.BlockSpec((rt, r // 2, n1), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_R, n1), lambda r: (0, 0),
+            pl.BlockSpec((r, n1), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_R, n1), lambda r: (0, 0),
+            pl.BlockSpec((r, n1), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, n1h1), lambda r: (0, 0),
+            pl.BlockSpec((n1, n1h1), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, n1h1), lambda r: (0, 0),
+            pl.BlockSpec((n1, n1h1), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, rt, _R, n1h1), lambda r: (0, r, 0, 0),
+        out_specs=pl.BlockSpec((2, rt, r, n1h1), lambda g: (0, g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, rows, _R, n1h1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, rows, r, n1h1), jnp.float32),
         interpret=interpret,
     )(x3, jnp.asarray(twr), jnp.asarray(twi), c1r, c1i)
 
 
-def _inv_kernel(n: int, prec, pc, s_ref, wr_ref, wi_ref, twr_ref, twi_ref,
-                e1r_ref, e1i_ref, o_ref):
+def _inv_kernel(n: int, r: int, prec, pc, s_ref, wr_ref, wi_ref,
+                twr_ref, twi_ref, e1r_ref, e1i_ref, o_ref):
     pr, pi = pc
     inv_n = 1.0 / n
-    accs = [None] * (_R // 2)
+    accs = [None] * (r // 2)
     e1r = e1r_ref[...]
     e1i = e1i_ref[...]
-    for k2 in range(_R):
+    for k2 in range(r):
         xr = s_ref[0, :, k2] * wr_ref[k2]
         xi = s_ref[1, :, k2] * wi_ref[k2]
         gr = _dot(xr, e1r, prec) - _dot(xi, e1i, prec)
@@ -133,12 +134,12 @@ def _inv_kernel(n: int, prec, pc, s_ref, wr_ref, wi_ref, twr_ref, twi_ref,
         twi = twi_ref[k2]
         br = gr * twr + gi * twi
         bi = gi * twr - gr * twi
-        for t2 in range(_R // 2):
+        for t2 in range(r // 2):
             c_r = float(pr[k2, t2])
             c_i = float(pi[k2, t2])
             term = br * c_r - bi * c_i
             accs[t2] = term if accs[t2] is None else accs[t2] + term
-    for t2 in range(_R // 2):
+    for t2 in range(r // 2):
         o_ref[:, t2] = accs[t2] * inv_n
 
 
@@ -148,8 +149,8 @@ def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
     """``spec [2, rows, r, n1h1]`` -> tail samples ``[rows, r//2, n1]``."""
     from ...convolve import fft as _fft
 
-    _, rows, _, n1h1 = spec.shape
-    n1 = n // _R
+    _, rows, r, n1h1 = spec.shape
+    n1 = n // r
     prec = _fft._PREC
     _, _, twr, twi, wr, wi, pr, pi = _fft._perm_consts(n)
     cr, ci = _fft._cmats(n1)
@@ -161,23 +162,23 @@ def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
             rt //= 2
         if rows % rt:
             rt = rows
-    consts = pl.BlockSpec((_R, n1), lambda r: (0, 0),
+    consts = pl.BlockSpec((r, n1), lambda g: (0, 0),
                           memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((_R, n1h1), lambda r: (0, 0),
+    wspec = pl.BlockSpec((r, n1h1), lambda g: (0, 0),
                          memory_space=pltpu.VMEM)
-    espec = pl.BlockSpec((n1h1, n1), lambda r: (0, 0),
+    espec = pl.BlockSpec((n1h1, n1), lambda g: (0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_inv_kernel, n, prec, (pr, pi)),
+        partial(_inv_kernel, n, r, prec, (pr, pi)),
         grid=(rows // rt,),
         in_specs=[
-            pl.BlockSpec((2, rt, _R, n1h1), lambda r: (0, r, 0, 0),
+            pl.BlockSpec((2, rt, r, n1h1), lambda g: (0, g, 0, 0),
                          memory_space=pltpu.VMEM),
             wspec, wspec, consts, consts, espec, espec,
         ],
-        out_specs=pl.BlockSpec((rt, _R // 2, n1), lambda r: (r, 0, 0),
+        out_specs=pl.BlockSpec((rt, r // 2, n1), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, _R // 2, n1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, r // 2, n1), jnp.float32),
         interpret=interpret,
     )(spec, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(twr),
       jnp.asarray(twi), e1r, e1i)

@@ -113,16 +113,17 @@ def maybe_perm_rfft_half(x, n: int):
     rows = 1
     for d in lead:
         rows *= int(d)
-    from .ops.pallas.perm_fft import MAX_KERNEL_N
+    from .convolve.fft import _perm_radix
+    from .ops.pallas.perm_fft import MAX_KERNEL_N1, perm_rfft_half_pallas
 
-    if n > MAX_KERNEL_N or x.shape[-1] != m or rows < 8 or rows % 8:
+    r = _perm_radix(n)
+    if (not r or n // r > MAX_KERNEL_N1 or x.shape[-1] != m
+            or rows < 8 or rows % 8):
         return None
-    from .ops.pallas.perm_fft import _R, perm_rfft_half_pallas
-
-    n1 = n // _R
+    n1 = n // r
     out = perm_rfft_half_pallas(
-        x.reshape(rows, _R // 2, n1), n, interpret=_interpret())
-    return out.reshape((2,) + tuple(lead) + (_R * (n1 // 2 + 1),))
+        x.reshape(rows, r // 2, n1), n, interpret=_interpret())
+    return out.reshape((2,) + tuple(lead) + (r * (n1 // 2 + 1),))
 
 
 def maybe_perm_irfft_tail(spec, n: int):
@@ -134,15 +135,15 @@ def maybe_perm_irfft_tail(spec, n: int):
     rows = 1
     for d in lead:
         rows *= int(d)
-    from .ops.pallas.perm_fft import MAX_KERNEL_N
+    from .convolve.fft import _perm_radix
+    from .ops.pallas.perm_fft import MAX_KERNEL_N1, perm_irfft_tail_pallas
 
-    if n > MAX_KERNEL_N or rows < 8 or rows % 8:
+    r = _perm_radix(n)
+    if not r or n // r > MAX_KERNEL_N1 or rows < 8 or rows % 8:
         return None
-    from .ops.pallas.perm_fft import _R, perm_irfft_tail_pallas
-
-    n1 = n // _R
+    n1 = n // r
     out = perm_irfft_tail_pallas(
-        spec.reshape(2, rows, _R, n1 // 2 + 1), n, interpret=_interpret())
+        spec.reshape(2, rows, r, n1 // 2 + 1), n, interpret=_interpret())
     return out.reshape(tuple(lead) + (n // 2,))
 
 

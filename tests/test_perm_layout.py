@@ -74,6 +74,42 @@ def test_perm_signs_shift_theorem(rng):
     assert np.abs(gc - exp).max() / np.abs(exp).max() < 1e-5
 
 
+def test_perm_radix16_matches_numpy(rng, monkeypatch):
+    """BBCAT_DSP_PERM_RADIX=16 (halved stage matmul, doubled radix stage):
+    forward and inverse still match numpy, signs/bins/permutation agree,
+    and the Pallas kernels follow the selected radix."""
+    monkeypatch.setenv("BBCAT_DSP_PERM_RADIX", "16")
+    n = 8192
+    r = F._perm_radix(n)
+    assert r == 16
+    assert F.spectral_nbins(n, "dftmm") == 16 * (512 // 2 + 1)
+    x = rng.standard_normal((4, n // 2)).astype(np.float32)
+    X = np.fft.rfft(np.concatenate([x, np.zeros_like(x)], -1), axis=-1)
+    exp = F.permute_half_spectrum(X, n)
+    got = np.asarray(F._perm_rfft_half(jnp.asarray(x), n, prec="highest"))
+    gc = got[0] + 1j * got[1]
+    assert np.abs(gc - exp).max() / np.abs(exp).max() < 1e-5
+
+    Fn = n // 2 + 1
+    spec = (rng.standard_normal((4, Fn))
+            + 1j * rng.standard_normal((4, Fn)))
+    y_ref = np.fft.irfft(spec, n=n, axis=-1)[..., n // 2:]
+    ps = F.permute_half_spectrum(spec, n)
+    sp = np.stack([ps.real, ps.imag]).astype(np.float32)
+    y = np.asarray(F._perm_irfft_tail(jnp.asarray(sp), n, prec="highest"))
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-5
+
+    # kernels at radix 16 (interpret) == XLA formulation
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "0")
+    f_ref = np.asarray(F._perm_rfft_half(jnp.asarray(x), n))
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "1")
+    jax.clear_caches()
+    f_got = np.asarray(F._perm_rfft_half(jnp.asarray(x), n))
+    jax.clear_caches()
+    sf = np.abs(f_ref).max()
+    np.testing.assert_allclose(f_got / sf, f_ref / sf, atol=5e-6)
+
+
 def test_cmatmul_karatsuba_matches_classic(rng, monkeypatch):
     """BBCAT_DSP_CMATMUL=karatsuba (3 real matmuls) == the classic 4-matmul
     complex multiply, across the transforms that use it."""
