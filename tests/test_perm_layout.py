@@ -288,6 +288,34 @@ def test_nonuniform_perm_crossfade_matches_xla(rng, force_dftmm):
     assert snr_db(exp, got) > 100.0
 
 
+def test_all_kernels_forced_end_to_end(rng, force_dftmm, monkeypatch):
+    """Integration: grouped tail MAC + fused head + perm-FFT kernels ALL
+    forced at once (interpret mode) through the public engine — the
+    config-#5 hot path composition — against scipy."""
+    from scipy.signal import fftconvolve
+
+    from bbcat_dsp_tpu.convolve import NonUniformConvolver
+
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_MAC", "1")
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "1")
+    jax.clear_caches()
+    try:
+        C, B, ratio = 16, 256, 8
+        B2 = B * ratio  # tail FFT n=4096 -> perm layout
+        N = 2 * B2 + 4 * B2
+        ir = (rng.standard_normal((C, N)) * 0.2).astype(np.float64)
+        x = rng.standard_normal((C, 8 * B2)).astype(np.float32)
+        conv = NonUniformConvolver(ir, block=B, ratio=ratio)
+        y = np.asarray(conv.process(jnp.asarray(x)))
+        ref = np.stack([
+            fftconvolve(x[c].astype(np.float64), ir[c])[: x.shape[1]]
+            for c in range(C)
+        ])
+        assert snr_db(ref, y) > 90.0
+    finally:
+        jax.clear_caches()
+
+
 def test_grouped_mac_kernel_perm_signs(rng):
     """The windowed grouped MAC kernel with a sectioned sign pattern
     (permuted layout) matches the plain-python reference."""
