@@ -24,3 +24,4 @@ run perm_karatsuba       BBCAT_DSP_CMATMUL=karatsuba
 run perm_fft_kara        BBCAT_DSP_PALLAS_PERMFFT=1 BBCAT_DSP_CMATMUL=karatsuba
 run perm_radix16         BBCAT_DSP_PERM_RADIX=16
 run perm_r16_fft_kara    BBCAT_DSP_PERM_RADIX=16 BBCAT_DSP_PALLAS_PERMFFT=1 BBCAT_DSP_CMATMUL=karatsuba
+run perm_r32_fft_kara    BBCAT_DSP_PERM_RADIX=32 BBCAT_DSP_PALLAS_PERMFFT=1 BBCAT_DSP_CMATMUL=karatsuba

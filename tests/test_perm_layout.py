@@ -110,6 +110,26 @@ def test_perm_radix16_matches_numpy(rng, monkeypatch):
     np.testing.assert_allclose(f_got / sf, f_ref / sf, atol=5e-6)
 
 
+def test_perm_radix32_matches_numpy(rng, monkeypatch):
+    """Radix 32 (smallest stage matmul, heaviest unrolled radix stage)."""
+    monkeypatch.setenv("BBCAT_DSP_PERM_RADIX", "32")
+    n = 8192
+    assert F._perm_radix(n) == 32
+    x = rng.standard_normal((2, n // 2)).astype(np.float32)
+    X = np.fft.rfft(np.concatenate([x, np.zeros_like(x)], -1), axis=-1)
+    exp = F.permute_half_spectrum(X, n)
+    got = np.asarray(F._perm_rfft_half(jnp.asarray(x), n, prec="highest"))
+    gc = got[0] + 1j * got[1]
+    assert np.abs(gc - exp).max() / np.abs(exp).max() < 1e-5
+    Fn = n // 2 + 1
+    spec = (rng.standard_normal((2, Fn)) + 1j * rng.standard_normal((2, Fn)))
+    y_ref = np.fft.irfft(spec, n=n, axis=-1)[..., n // 2:]
+    ps = F.permute_half_spectrum(spec, n)
+    sp = np.stack([ps.real, ps.imag]).astype(np.float32)
+    y = np.asarray(F._perm_irfft_tail(jnp.asarray(sp), n, prec="highest"))
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-5
+
+
 def test_cmatmul_karatsuba_matches_classic(rng, monkeypatch):
     """BBCAT_DSP_CMATMUL=karatsuba (3 real matmuls) == the classic 4-matmul
     complex multiply, across the transforms that use it."""
