@@ -90,9 +90,9 @@ def tail_budget(layout: str, kernels: bool, radix: int = 8):
         # stage matmul: [rows*r, n1] x [n1, n1h1] complex (4 real matmuls)
         fwd_mxu = ROWS * 4 * 2 * r * n1 * n1h1
         inv_mxu = fwd_mxu
-        # radix stage: r outputs x r/2 inputs complex MACs per n1 lane
-        fwd_vpu = ROWS * (r * (r // 2)) * n1
-        inv_vpu = ROWS * (r * (r // 2)) * n1 + ROWS * r * n1  # + twiddle
+        # radix stage: r outputs x r/2 inputs complex MACs (4 FMA) per lane
+        fwd_vpu = ROWS * (r * (r // 2)) * n1 * 4
+        inv_vpu = ROWS * (r * (r // 2)) * n1 * 4 + ROWS * r * n1 * 4
     # grouped MAC kernel: queue + xt + H read once, out + queue' written
     qbytes = 2 * PT * C * Fp * f32
     mac_hbm = 5 * qbytes
@@ -116,6 +116,8 @@ def main():
          tail_budget("perm", True), head_budget(True)),
         ("radix16 + kernels + grouped head",
          tail_budget("perm", True, 16), head_budget(True)),
+        ("radix32 + kernels + grouped head",
+         tail_budget("perm", True, 32), head_budget(True)),
     ]
     for name, (th, tm, tv), (hh, hm, hv) in variants:
         fmt(name, th + hh, tm + hm, tv + hv)
