@@ -330,6 +330,84 @@ def spectral_nbins(n: int, backend: str | None = None) -> int:
     return r * (n // r // 2 + 1)
 
 
+def _radix_fft(xs: list, sign: float):
+    """Power-of-two DFT over a fully UNROLLED axis via radix-2 DIT
+    butterflies on vector operands.
+
+    ``xs`` is a list of ``(re, im)`` pairs of equally-shaped jnp arrays;
+    either component may be ``None`` (exact zero) — zeros and the
+    0/±1/±i twiddles prune to nothing, so a half-support real input
+    costs ~(r/2)·log2(r) genuine butterflies instead of the naive
+    r·(r/2) MACs.  ``sign=-1`` is the forward DFT, ``+1`` the inverse
+    kernel (no 1/r normalisation).  Returns r ``(re, im)`` pairs in
+    natural frequency order.  Works identically under jit, inside Pallas
+    kernels, and in the interpreter (it is just unrolled arithmetic).
+    """
+    r = len(xs)
+    if r == 1:
+        return [xs[0]]
+
+    def cadd(a, b):
+        (ar, ai), (br, bi) = a, b
+        re = br if ar is None else (ar if br is None else ar + br)
+        im = bi if ai is None else (ai if bi is None else ai + bi)
+        return (re, im)
+
+    def cneg(a):
+        ar, ai = a
+        return (None if ar is None else -ar, None if ai is None else -ai)
+
+    def cmulc(a, wr: float, wi: float):
+        """a * (wr + i wi) with exact-constant pruning."""
+        ar, ai = a
+        if wi == 0.0:
+            if wr == 1.0:
+                return a
+            if wr == -1.0:
+                return cneg(a)
+            return (None if ar is None else ar * wr,
+                    None if ai is None else ai * wr)
+        if wr == 0.0:
+            # i*wi: (ar + i ai)(i wi) = -ai*wi + i ar*wi
+            if wi == 1.0:
+                return (None if ai is None else -ai, ar)
+            if wi == -1.0:
+                return (ai, None if ar is None else -ar)
+            return (None if ai is None else ai * -wi,
+                    None if ar is None else ar * wi)
+        re = None
+        if ar is not None:
+            re = ar * wr
+        if ai is not None:
+            re = -ai * wi if re is None else re - ai * wi
+        im = None
+        if ar is not None:
+            im = ar * wi
+        if ai is not None:
+            im = ai * wr if im is None else im + ai * wr
+        return (re, im)
+
+    ev = _radix_fft(xs[0::2], sign)
+    od = _radix_fft(xs[1::2], sign)
+    out = [None] * r
+    for k in range(r // 2):
+        ang = sign * 2.0 * np.pi * k / r
+        wr, wi = float(np.cos(ang)), float(np.sin(ang))
+        if abs(wr) < 1e-12:
+            wr = 0.0
+        if abs(wi) < 1e-12:
+            wi = 0.0
+        for v in (1.0, -1.0):
+            if abs(wr - v) < 1e-12:
+                wr = v
+            if abs(wi - v) < 1e-12:
+                wi = v
+        t = cmulc(od[k], wr, wi)
+        out[k] = cadd(ev[k], t)
+        out[k + r // 2] = cadd(ev[k], cneg(t))
+    return out
+
+
 def half_sign_section(n: int, backend: str | None = None) -> int:
     """Section length of the half-window shift signs in the engine's
     layout: 1 (std, alternating per bin) or ``n1//2 + 1`` (permuted,
@@ -403,15 +481,15 @@ def _perm_rfft_half(x: jax.Array, n: int, prec=None) -> jax.Array:
             return out
     lead = x.shape[:-1]
     xm = x.reshape(lead + (r // 2, n1))
-    s1r, s1i, twr, twi = _perm_consts(n)[:4]
-    yr = None
-    yi = None
-    for j in range(r // 2):
-        xj = xm[..., j, :][..., None, :]                    # [.., 1, n1]
-        cr = jnp.asarray(s1r[:, j])[:, None]                # [r, 1]
-        ci = jnp.asarray(s1i[:, j])[:, None]
-        yr = xj * cr if yr is None else yr + xj * cr
-        yi = xj * ci if yi is None else yi + xj * ci
+    _, _, twr, twi = _perm_consts(n)[:4]
+    # radix stage: DFT_r of the half-support real rows, butterflied
+    # (~(r/2)·log2(r) genuine vector butterflies instead of r·(r/2) MACs)
+    xs = [(xm[..., j, :], None) for j in range(r // 2)]
+    xs += [(None, None)] * (r // 2)
+    Y = _radix_fft(xs, -1.0)
+    zero = jnp.zeros(lead + (n1,), x.dtype)
+    yr = jnp.stack([re if re is not None else zero for re, _ in Y], axis=-2)
+    yi = jnp.stack([im if im is not None else zero for _, im in Y], axis=-2)
     twr = jnp.asarray(twr)
     twi = jnp.asarray(twi)
     tr = yr * twr - yi * twi                                # [.., r, n1]
@@ -448,15 +526,14 @@ def _perm_irfft_tail(spec: jax.Array, n: int, prec=None) -> jax.Array:
     twi = jnp.asarray(twi)
     br = gr * twr + gi * twi
     bi = gi * twr - gr * twi
-    # stage C: real part of the radix-r recombination, tail t2 only
-    outs = []
-    for t2 in range(r // 2):
-        yr = None
-        for k2 in range(r):
-            term = (br[..., k2, :] * float(pr[k2, t2])
-                    - bi[..., k2, :] * float(pi[k2, t2]))
-            yr = term if yr is None else yr + term
-        outs.append(yr)
+    # stage C: radix-r recombination (inverse-sign butterflies), tail
+    # outputs t2 >= r/2 only, real parts only
+    del pr, pi
+    zs = [(br[..., k2, :], bi[..., k2, :]) for k2 in range(r)]
+    Yt = _radix_fft(zs, 1.0)
+    zero = jnp.zeros(lead + (n1,), spec.dtype)
+    outs = [Yt[r // 2 + t2][0] if Yt[r // 2 + t2][0] is not None else zero
+            for t2 in range(r // 2)]
     y = jnp.stack(outs, axis=-2)                            # [.., r/2, n1]
     return y.reshape(lead + (n // 2,)) / n
 

@@ -46,30 +46,28 @@ __all__ = ["perm_rfft_half_pallas", "perm_irfft_tail_pallas"]
 MAX_KERNEL_N1 = 1024
 
 
-def _fwd_kernel(n: int, r: int, prec, s1, x_ref, twr_ref, twi_ref,
+def _fwd_kernel(n: int, r: int, prec, x_ref, twr_ref, twi_ref,
                 c1r_ref, c1i_ref, o_ref):
-    s1r, s1i = s1
+    from ...convolve.fft import _radix_fft
+
+    # butterflied radix stage over the unrolled axis (shared subterms in
+    # registers; zero half and real input prune to ~(r/2)·log2(r)
+    # butterflies)
+    xs = [(x_ref[:, j], None) for j in range(r // 2)]
+    xs += [(None, None)] * (r // 2)
+    Y = _radix_fft(xs, -1.0)
+    c1r = c1r_ref[...]
+    c1i = c1i_ref[...]
     for k2 in range(r):
-        yr = None
-        yi = None
-        for j in range(r // 2):
-            xj = x_ref[:, j]                      # [rt, n1]
-            cr = float(s1r[k2, j])
-            ci = float(s1i[k2, j])
-            if cr != 0.0:
-                t = xj * cr if cr != 1.0 else xj
-                yr = t if yr is None else yr + t
-            if ci != 0.0:
-                t = xj * ci if ci != 1.0 else xj
-                yi = t if yi is None else yi + t
+        yr, yi = Y[k2]
+        if yr is None:
+            yr = jnp.zeros_like(x_ref[:, 0])
         if yi is None:
             yi = jnp.zeros_like(yr)
         twr = twr_ref[k2]
         twi = twi_ref[k2]
         tr = yr * twr - yi * twi
         ti = yr * twi + yi * twr
-        c1r = c1r_ref[...]
-        c1i = c1i_ref[...]
         zr = _dot(tr, c1r, prec) - _dot(ti, c1i, prec)
         zi = _dot(tr, c1i, prec) + _dot(ti, c1r, prec)
         o_ref[0, :, k2] = zr
@@ -86,7 +84,7 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
     r = 2 * rh
     n1h1 = n1 // 2 + 1
     prec = _fft._PREC
-    s1r, s1i, twr, twi = _fft._perm_consts(n)[:4]
+    _, _, twr, twi = _fft._perm_consts(n)[:4]
     cr, ci = _fft._cmats(n1)
     c1r = jnp.asarray(cr[:, :n1h1])
     c1i = jnp.asarray(ci[:, :n1h1])
@@ -97,7 +95,7 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
         if rows % rt:
             rt = rows
     return pl.pallas_call(
-        partial(_fwd_kernel, n, r, prec, (s1r, s1i)),
+        partial(_fwd_kernel, n, r, prec),
         grid=(rows // rt,),
         in_specs=[
             pl.BlockSpec((rt, r // 2, n1), lambda g: (g, 0, 0),
@@ -118,13 +116,14 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
     )(x3, jnp.asarray(twr), jnp.asarray(twi), c1r, c1i)
 
 
-def _inv_kernel(n: int, r: int, prec, pc, s_ref, wr_ref, wi_ref,
+def _inv_kernel(n: int, r: int, prec, s_ref, wr_ref, wi_ref,
                 twr_ref, twi_ref, e1r_ref, e1i_ref, o_ref):
-    pr, pi = pc
+    from ...convolve.fft import _radix_fft
+
     inv_n = 1.0 / n
-    accs = [None] * (r // 2)
     e1r = e1r_ref[...]
     e1i = e1i_ref[...]
+    bs = []
     for k2 in range(r):
         xr = s_ref[0, :, k2] * wr_ref[k2]
         xi = s_ref[1, :, k2] * wi_ref[k2]
@@ -132,15 +131,11 @@ def _inv_kernel(n: int, r: int, prec, pc, s_ref, wr_ref, wi_ref,
         gi = _dot(xr, e1i, prec) + _dot(xi, e1r, prec)
         twr = twr_ref[k2]
         twi = twi_ref[k2]
-        br = gr * twr + gi * twi
-        bi = gi * twr - gr * twi
-        for t2 in range(r // 2):
-            c_r = float(pr[k2, t2])
-            c_i = float(pi[k2, t2])
-            term = br * c_r - bi * c_i
-            accs[t2] = term if accs[t2] is None else accs[t2] + term
+        bs.append((gr * twr + gi * twi, gi * twr - gr * twi))
+    # butterflied inverse radix recombination; tail rows, real parts only
+    Yt = _radix_fft(bs, 1.0)
     for t2 in range(r // 2):
-        o_ref[:, t2] = accs[t2] * inv_n
+        o_ref[:, t2] = Yt[r // 2 + t2][0] * inv_n
 
 
 @partial(jax.jit, static_argnames=("n", "rt", "interpret"))
@@ -152,7 +147,7 @@ def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
     _, rows, r, n1h1 = spec.shape
     n1 = n // r
     prec = _fft._PREC
-    _, _, twr, twi, wr, wi, pr, pi = _fft._perm_consts(n)
+    _, _, twr, twi, wr, wi, _, _ = _fft._perm_consts(n)
     cr, ci = _fft._cmats(n1)
     e1r = jnp.asarray(cr[:n1h1])
     e1i = jnp.asarray(-ci[:n1h1])
@@ -169,7 +164,7 @@ def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
     espec = pl.BlockSpec((n1h1, n1), lambda g: (0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_inv_kernel, n, r, prec, (pr, pi)),
+        partial(_inv_kernel, n, r, prec),
         grid=(rows // rt,),
         in_specs=[
             pl.BlockSpec((2, rt, r, n1h1), lambda g: (0, g, 0, 0),
