@@ -90,9 +90,11 @@ def tail_budget(layout: str, kernels: bool, radix: int = 8):
         # stage matmul: [rows*r, n1] x [n1, n1h1] complex (4 real matmuls)
         fwd_mxu = ROWS * 4 * 2 * r * n1 * n1h1
         inv_mxu = fwd_mxu
-        # radix stage: r outputs x r/2 inputs complex MACs (4 FMA) per lane
-        fwd_vpu = ROWS * (r * (r // 2)) * n1 * 4
-        inv_vpu = ROWS * (r * (r // 2)) * n1 * 4 + ROWS * r * n1 * 4
+        # butterflied radix stage: ~(r/2)*log2(r) butterflies, ~6 FMA each
+        import math
+        bfly = 6 * (r // 2) * int(math.log2(r))
+        fwd_vpu = ROWS * bfly * n1
+        inv_vpu = ROWS * bfly * n1 + ROWS * r * n1 * 4  # + stage-B twiddle
     # grouped MAC kernel: queue + xt + H read once, out + queue' written
     qbytes = 2 * PT * C * Fp * f32
     mac_hbm = 5 * qbytes
