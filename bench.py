@@ -249,7 +249,17 @@ def main() -> None:
             time.sleep(15)
 
     _BEST["stage"] = "compile_dynamic"
-    chain(n1, None, trials=1)  # compile + first lower bound
+    try:
+        chain(n1, None, trials=1)  # compile + first lower bound
+    except Exception:
+        # the permuted-layout tail is the default; if its program fails
+        # on this backend (never-compiled-here path), fall back to the
+        # standard layout rather than lose the round's number
+        os.environ["BBCAT_DSP_PERM_LAYOUT"] = "0"
+        conv = NonUniformConvolver(irs, block=_B, ratio=8)
+        state, Hh, Ht = conv.state, conv.H_head, conv.H_tail
+        _BEST["stage"] = "compile_dynamic_stdlayout"
+        chain(n1, None, trials=1)
     chain(n2, None, trials=1)
     _BEST["stage"] = "slope_dynamic"
     slope_attempts(None, attempts=2, budget_s=60.0)
