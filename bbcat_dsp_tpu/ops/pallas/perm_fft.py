@@ -58,6 +58,8 @@ def _fwd_kernel(n: int, r: int, prec, x_ref, twr_ref, twi_ref,
     Y = _radix_fft(xs, -1.0)
     c1r = c1r_ref[...]
     c1i = c1i_ref[...]
+    trs = []
+    tis = []
     for k2 in range(r):
         yr, yi = Y[k2]
         if yr is None:
@@ -66,12 +68,17 @@ def _fwd_kernel(n: int, r: int, prec, x_ref, twr_ref, twi_ref,
             yi = jnp.zeros_like(yr)
         twr = twr_ref[k2]
         twi = twi_ref[k2]
-        tr = yr * twr - yi * twi
-        ti = yr * twi + yi * twr
-        zr = _dot(tr, c1r, prec) - _dot(ti, c1i, prec)
-        zi = _dot(tr, c1i, prec) + _dot(ti, c1r, prec)
-        o_ref[0, :, k2] = zr
-        o_ref[1, :, k2] = zi
+        trs.append(yr * twr - yi * twi)
+        tis.append(yr * twi + yi * twr)
+    # one big-M matmul pair for all k2 rows (C1 shared): [r*rt, n1]
+    rt = x_ref.shape[0]
+    tr = jnp.concatenate(trs, axis=0)
+    ti = jnp.concatenate(tis, axis=0)
+    zr = _dot(tr, c1r, prec) - _dot(ti, c1i, prec)
+    zi = _dot(tr, c1i, prec) + _dot(ti, c1r, prec)
+    for k2 in range(r):
+        o_ref[0, :, k2] = zr[k2 * rt:(k2 + 1) * rt]
+        o_ref[1, :, k2] = zi[k2 * rt:(k2 + 1) * rt]
 
 
 @partial(jax.jit, static_argnames=("n", "rt", "interpret"))
@@ -123,15 +130,21 @@ def _inv_kernel(n: int, r: int, prec, s_ref, wr_ref, wi_ref,
     inv_n = 1.0 / n
     e1r = e1r_ref[...]
     e1i = e1i_ref[...]
+    rt = s_ref.shape[1]
+    # one big-M matmul pair over all k2 rows (E1 shared): [r*rt, n1h1]
+    xr = jnp.concatenate(
+        [s_ref[0, :, k2] * wr_ref[k2] for k2 in range(r)], axis=0)
+    xi = jnp.concatenate(
+        [s_ref[1, :, k2] * wi_ref[k2] for k2 in range(r)], axis=0)
+    gr = _dot(xr, e1r, prec) - _dot(xi, e1i, prec)
+    gi = _dot(xr, e1i, prec) + _dot(xi, e1r, prec)
     bs = []
     for k2 in range(r):
-        xr = s_ref[0, :, k2] * wr_ref[k2]
-        xi = s_ref[1, :, k2] * wi_ref[k2]
-        gr = _dot(xr, e1r, prec) - _dot(xi, e1i, prec)
-        gi = _dot(xr, e1i, prec) + _dot(xi, e1r, prec)
+        g_r = gr[k2 * rt:(k2 + 1) * rt]
+        g_i = gi[k2 * rt:(k2 + 1) * rt]
         twr = twr_ref[k2]
         twi = twi_ref[k2]
-        bs.append((gr * twr + gi * twi, gi * twr - gr * twi))
+        bs.append((g_r * twr + g_i * twi, g_i * twr - g_r * twi))
     # butterflied inverse radix recombination; tail rows, real parts only
     Yt = _radix_fft(bs, 1.0)
     for t2 in range(r // 2):
