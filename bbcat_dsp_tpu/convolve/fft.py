@@ -298,7 +298,8 @@ def _perm_radix(n: int) -> int | None:
     except ValueError:
         want = 8
     for r in (want, _PERM_RADIX):
-        if (r >= 4 and n % (2 * r) == 0 and n // r <= _MAX_DIRECT
+        if (r >= 4 and r & (r - 1) == 0  # radix stage is radix-2 DIT
+                and n % (2 * r) == 0 and n // r <= _MAX_DIRECT
                 and (n // r) % 2 == 0):
             return r
     return None
@@ -429,17 +430,9 @@ def _perm_consts(n: int):
         n1 = n // r
         n1h1 = n1 // 2 + 1
         k2 = np.arange(r)
-        # stage 1: W_r^{n2 k2}, n2 < r/2 (zero half).  Snap the entries
-        # that are exactly 0/+-1 in exact arithmetic (np.cos(pi/2) etc.
-        # carry ~1e-16 residues) so the kernels' strength-reduction
-        # guards (skip zero terms, skip unit multiplies) actually fire.
-        a1 = 2.0 * np.pi * np.outer(k2, np.arange(r // 2)) / r
-        s1r, s1i = np.cos(a1), -np.sin(a1)                  # [r, r/2]
-        for t in (s1r, s1i):
-            t[np.abs(t) < 1e-12] = 0.0
-            t[np.abs(t - 1.0) < 1e-12] = 1.0
-            t[np.abs(t + 1.0) < 1e-12] = -1.0
-        # stage 2 twiddle: W_n^{k2 n1i}
+        # stage 2 twiddle: W_n^{k2 n1i}  (the radix stage and inverse
+        # recombination are butterflied with compile-time constants in
+        # _radix_fft, so no stage-1/stage-C tables are needed)
         a2 = 2.0 * np.pi * np.outer(k2, np.arange(n1)) / n
         twr, twi = np.cos(a2), -np.sin(a2)                  # [r, n1]
         # inverse stage B twiddle: conj
@@ -452,12 +445,8 @@ def _perm_consts(n: int):
         wi = wr.copy()
         wi[0, 0] = 0.0          # numpy.irfft drops DC/Nyquist imag parts
         wi[0, n1h1 - 1] = 0.0
-        # inverse stage C phases: e^{+2pi i k2 t2 / r}, t2 in [r/2, r)
-        a3 = 2.0 * np.pi * np.outer(k2, np.arange(r // 2, r)) / r
-        pr, pi = np.cos(a3), np.sin(a3)                     # [r, r/2]
         _PERMC[key] = tuple(
-            a.astype(np.float32)
-            for a in (s1r, s1i, twr, twi, wr, wi, pr, pi)
+            a.astype(np.float32) for a in (twr, twi, wr, wi)
         )
     return _PERMC[key]
 
@@ -481,7 +470,7 @@ def _perm_rfft_half(x: jax.Array, n: int, prec=None) -> jax.Array:
             return out
     lead = x.shape[:-1]
     xm = x.reshape(lead + (r // 2, n1))
-    _, _, twr, twi = _perm_consts(n)[:4]
+    twr, twi = _perm_consts(n)[:2]
     # radix stage: DFT_r of the half-support real rows, butterflied
     # (~(r/2)·log2(r) genuine vector butterflies instead of r·(r/2) MACs)
     xs = [(xm[..., j, :], None) for j in range(r // 2)]
@@ -513,7 +502,7 @@ def _perm_irfft_tail(spec: jax.Array, n: int, prec=None) -> jax.Array:
         if out is not None:
             return out
     lead = spec.shape[1:-1]
-    _, _, twr, twi, wr, wi, pr, pi = _perm_consts(n)
+    twr, twi, wr, wi = _perm_consts(n)
     Xr = spec[0].reshape(lead + (r, n1h1)) * jnp.asarray(wr)
     Xi = spec[1].reshape(lead + (r, n1h1)) * jnp.asarray(wi)
     # stage A: conj-DFT matmul over k1 (E1 = cos + i sin of the n1 matrix)
@@ -528,7 +517,6 @@ def _perm_irfft_tail(spec: jax.Array, n: int, prec=None) -> jax.Array:
     bi = gi * twr - gr * twi
     # stage C: radix-r recombination (inverse-sign butterflies), tail
     # outputs t2 >= r/2 only, real parts only
-    del pr, pi
     zs = [(br[..., k2, :], bi[..., k2, :]) for k2 in range(r)]
     Yt = _radix_fft(zs, 1.0)
     zero = jnp.zeros(lead + (n1,), spec.dtype)

@@ -91,12 +91,14 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
     r = 2 * rh
     n1h1 = n1 // 2 + 1
     prec = _fft._PREC
-    _, _, twr, twi = _fft._perm_consts(n)[:4]
+    twr, twi = _fft._perm_consts(n)[:2]
     cr, ci = _fft._cmats(n1)
     c1r = jnp.asarray(cr[:, :n1h1])
     c1i = jnp.asarray(ci[:, :n1h1])
     if rt is None:
-        rt = 64
+        # bound the concatenated big-M stage operands (2 * r*rt * n1 f32
+        # ~ 4 MB) so VMEM stays inside budget at any radix/size
+        rt = max(8, min(64, (1 << 19) // (r * n1)))
         while rt > 8 and rows % rt:
             rt //= 2
         if rows % rt:
@@ -160,12 +162,14 @@ def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
     _, rows, r, n1h1 = spec.shape
     n1 = n // r
     prec = _fft._PREC
-    _, _, twr, twi, wr, wi, _, _ = _fft._perm_consts(n)
+    twr, twi, wr, wi = _fft._perm_consts(n)
     cr, ci = _fft._cmats(n1)
     e1r = jnp.asarray(cr[:n1h1])
     e1i = jnp.asarray(-ci[:n1h1])
     if rt is None:
-        rt = 64
+        # bound the concatenated big-M stage operands (2 * r*rt * n1 f32
+        # ~ 4 MB) so VMEM stays inside budget at any radix/size
+        rt = max(8, min(64, (1 << 19) // (r * n1)))
         while rt > 8 and rows % rt:
             rt //= 2
         if rows % rt:

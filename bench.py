@@ -71,6 +71,8 @@ def _emit(note: str | None = None) -> None:
             _C * _T / _BEST["per_render"]
         )
     result["engine"] = "nonuniform_partitioned(B=512, ratio=8)"
+    if _BEST.get("layout"):
+        result["layout"] = _BEST["layout"]
     if note is not None:
         result["approx"] = True
         result["note"] = f"{note} (stage={_BEST['stage']}); " + (
@@ -254,8 +256,11 @@ def main() -> None:
     except Exception:
         # the permuted-layout tail is the default; if its program fails
         # on this backend (never-compiled-here path), fall back to the
-        # standard layout rather than lose the round's number
+        # standard layout rather than lose the round's number.  The
+        # switch is recorded in the emitted JSON so the number is never
+        # silently attributed to the layout it didn't measure.
         os.environ["BBCAT_DSP_PERM_LAYOUT"] = "0"
+        _BEST["layout"] = "std_fallback"
         conv = NonUniformConvolver(irs, block=_B, ratio=8)
         state, Hh, Ht = conv.state, conv.H_head, conv.H_tail
         _BEST["stage"] = "compile_dynamic_stdlayout"

@@ -99,13 +99,18 @@ def test_perm_radix16_matches_numpy(rng, monkeypatch):
     y = np.asarray(F._perm_irfft_tail(jnp.asarray(sp), n, prec="highest"))
     assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 1e-5
 
-    # kernels at radix 16 (interpret) == XLA formulation
+    # kernels at radix 16 (interpret) == XLA formulation — 16 rows so the
+    # hook's rows >= 8 gate actually engages the kernel
+    xk = rng.standard_normal((16, n // 2)).astype(np.float32)
     monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "0")
-    f_ref = np.asarray(F._perm_rfft_half(jnp.asarray(x), n))
+    f_ref = np.asarray(F._perm_rfft_half(jnp.asarray(xk), n))
     monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "1")
     jax.clear_caches()
-    f_got = np.asarray(F._perm_rfft_half(jnp.asarray(x), n))
+    f_got = np.asarray(F._perm_rfft_half(jnp.asarray(xk), n))
     jax.clear_caches()
+    assert not np.array_equal(f_got, f_ref), (
+        "kernel path produced bit-identical output — hook likely never "
+        "engaged the Pallas kernel")
     sf = np.abs(f_ref).max()
     np.testing.assert_allclose(f_got / sf, f_ref / sf, atol=5e-6)
 
