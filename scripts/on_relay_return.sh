@@ -24,4 +24,9 @@ echo "== stage 3: full config sweep -> BENCH_EXTRA.json"
 timeout 590 python scripts/bench_all.py > /tmp/r2_measure/03_bench_all.log 2>&1
 tail -8 /tmp/r2_measure/03_bench_all.log
 
+echo "== stage 4: flagship layout A/B (std layout bench for comparison)"
+timeout 590 env BBCAT_DSP_PERM_LAYOUT=0 python bench.py \
+  > /tmp/r2_measure/04_bench_stdlayout.log 2>&1
+tail -2 /tmp/r2_measure/04_bench_stdlayout.log
+
 echo "== done; logs in /tmp/r2_measure/"
