@@ -9,6 +9,14 @@ state pytree round-trips through orbax (or a plain-npz fallback).
 
 Works for ConvolverState, BankState, ModalState, MeterState, Ring,
 BinauralState, ... and arbitrary nests of them.
+
+Portability note: convolver spectral queues are stored in the half-window
+engine's SPECTRAL LAYOUT for the backend that wrote them
+(``convolve.fft.half_engine_layout`` — permuted on TPU for large block
+sizes, standard elsewhere).  Restoring onto a backend with a different
+layout fails loudly on the shape check below (e.g. 4104 vs 4097 bins at
+an 8192-point tail); re-render the IRs and reset, or re-save from the
+target backend.
 """
 
 from __future__ import annotations
