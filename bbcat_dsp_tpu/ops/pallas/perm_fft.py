@@ -6,11 +6,13 @@ XLA formulation is already transpose-free, but it materialises the
 radix-stage intermediate (``[.., r, n1]`` complex — ~940 MB per direction
 per render group at the pod config) between the fused elementwise pass and
 the stage matmul.  Here one kernel invocation per row tile keeps every
-intermediate in VMEM: the radix-8 stage unrolls with compile-time
-cos/sin scalars, the twiddle rides the same registers, and the per-k2
-stage matmuls run on the MXU with the fft module's precision semantics
-(HIGH reproduced by manual bf16 operand splitting — Mosaic only lowers
-DEFAULT/HIGHEST — exactly as :mod:`fused_head` does).
+intermediate in VMEM: the radix stage runs as butterflied radix-2 DIT
+over the unrolled axis (``fft._radix_fft`` — zero-half/real-input
+pruning, compile-time twiddles), the stage-B twiddle rides the same
+registers, and ONE big-M matmul pair per tile (all k2 rows concatenated;
+the stage matrix is shared) runs on the MXU with the fft module's
+precision semantics (HIGH reproduced by manual bf16 operand splitting —
+Mosaic only lowers DEFAULT/HIGHEST — exactly as :mod:`fused_head` does).
 
 Shapes (r = 8, n1 = n // r, n1h1 = n1//2 + 1, m = n//2):
 
