@@ -180,6 +180,9 @@ def main() -> None:
     ).astype(np.float64)
     x = rng.standard_normal((_C, _T)).astype(np.float32)
 
+    from bbcat_dsp_tpu.convolve.fft import half_engine_layout
+
+    _BEST["layout"] = half_engine_layout(2 * _B * 8)  # tail FFT size
     conv = NonUniformConvolver(irs, block=_B, ratio=8)
     xd = jnp.asarray(x)
     # timing renders each consume a DISTINCT signal: scanning the same x
