@@ -313,7 +313,8 @@ def test_nonuniform_perm_crossfade_matches_xla(rng, force_dftmm):
     assert snr_db(exp, got) > 100.0
 
 
-def test_all_kernels_forced_end_to_end(rng, force_dftmm, monkeypatch):
+@pytest.mark.parametrize("radix", [8, 16])
+def test_all_kernels_forced_end_to_end(rng, force_dftmm, monkeypatch, radix):
     """Integration: grouped tail MAC + fused head + perm-FFT kernels ALL
     forced at once (interpret mode) through the public engine — the
     config-#5 hot path composition — against scipy."""
@@ -321,6 +322,7 @@ def test_all_kernels_forced_end_to_end(rng, force_dftmm, monkeypatch):
 
     from bbcat_dsp_tpu.convolve import NonUniformConvolver
 
+    monkeypatch.setenv("BBCAT_DSP_PERM_RADIX", str(radix))
     monkeypatch.setenv("BBCAT_DSP_PALLAS_MAC", "1")
     monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "1")
     jax.clear_caches()
