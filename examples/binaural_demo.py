@@ -9,6 +9,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    # some site configs override the env var after the fact; re-assert it
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 import jax.numpy as jnp
 
