@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fft import (
+    ensure_layout_usable,
     half_engine_layout,
     half_window_signs,
     irfft_tail_planes,
@@ -285,6 +286,9 @@ class BlockConvolver:
         if ir2.shape[0] == 1 and nchannels > 1:
             ir2 = np.broadcast_to(ir2, (nchannels, ir2.shape[1]))
         self.block = int(block)
+        # verify the layout's program builds on this backend BEFORE sizing
+        # spectral state; falls back to std (with a warning) if it doesn't
+        ensure_layout_usable(2 * self.block)
         self.H = partition_ir(ir2, self.block, nparts)
         self.nparts = self.H.shape[1]
         self.nchannels = nchannels

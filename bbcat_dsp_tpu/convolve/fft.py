@@ -42,6 +42,8 @@ __all__ = [
     "half_sign_section",
     "spectral_nbins",
     "permute_half_spectrum",
+    "unpermute_half_spectrum",
+    "ensure_layout_usable",
 ]
 
 # MXU operand precision for the DFT matmuls.  Measured on the full 64ch x
@@ -305,20 +307,90 @@ def _perm_radix(n: int) -> int | None:
     return None
 
 
+# (backend, n, radix) triples whose permuted-layout program failed to
+# build on this process's backend — half_engine_layout returns "std" for
+# them so every engine component agrees on the fallback.  Populated by
+# ensure_layout_usable(); never cleared (a broken build stays broken for
+# the life of the process).
+_LAYOUT_BLOCKED: set = set()
+_LAYOUT_OK: set = set()
+
+
 def half_engine_layout(n: int, backend: str | None = None) -> str:
     """Spectral layout of the half-window engine pair
     (:func:`rfft_half_planes` / :func:`irfft_tail_planes`) at size ``n``:
     ``"std"`` (natural bin order) or ``"perm"`` (r-radix permuted order).
-    Purely a function of (n, resolved backend, BBCAT_DSP_PERM_LAYOUT) so
-    every engine component — forward, signs, IR partitioning, inverse —
-    resolves identically.  BBCAT_DSP_PERM_LAYOUT=0 forces std (A/B
-    toggle); default engages perm wherever it applies."""
+    Purely a function of (n, resolved backend, BBCAT_DSP_PERM_LAYOUT,
+    layout-health registry) so every engine component — forward, signs,
+    IR partitioning, inverse — resolves identically.
+    BBCAT_DSP_PERM_LAYOUT=0 forces std (A/B toggle); default engages perm
+    wherever it applies and the build has not been black-listed by
+    :func:`ensure_layout_usable`."""
     import os
 
     if os.environ.get("BBCAT_DSP_PERM_LAYOUT", "auto") == "0":
         return "std"
     b = backend or default_backend()
-    return "perm" if (b == "dftmm" and _perm_radix(n)) else "std"
+    r = _perm_radix(n)
+    if not (b == "dftmm" and r):
+        return "std"
+    if (b, n, r) in _LAYOUT_BLOCKED:
+        return "std"
+    return "perm"
+
+
+def ensure_layout_usable(n: int, backend: str | None = None) -> str:
+    """Verify the permuted-layout transform pair actually BUILDS for size
+    ``n`` on the current jax backend, falling back to the standard layout
+    (with a warning) if it does not.  Returns the layout that will be used.
+
+    The permuted layout is the default TPU path for large ``n``; its
+    program has failure modes the std path does not (Pallas/Mosaic kernel
+    acceptance, layout propagation).  Engine constructors call this BEFORE
+    sizing spectral queues so a user on a backend that rejects the perm
+    program still gets a working convolver instead of a compile error at
+    first render.  The probe compiles the forward+inverse pair once per
+    (backend, n, radix) per process (cached, and cheap vs the engine's own
+    first compile, which shares the jax compilation cache).
+
+    Set ``BBCAT_DSP_LAYOUT_PROBE=0`` to skip probing (e.g. when the
+    backend is known-good and constructor latency matters)."""
+    import os
+    import warnings
+
+    b = backend or default_backend()
+    layout = half_engine_layout(n, b)
+    if layout != "perm":
+        return layout
+    if os.environ.get("BBCAT_DSP_LAYOUT_PROBE", "1") == "0":
+        return layout
+    r = _perm_radix(n)
+    key = (b, n, r)
+    if key in _LAYOUT_OK:
+        return "perm"
+    try:
+        fwd = jax.jit(lambda x: _perm_rfft_half(x, n))
+        fwd.lower(
+            jax.ShapeDtypeStruct((8, n // 2), jnp.float32)
+        ).compile()
+        F = spectral_nbins(n, b)
+        inv = jax.jit(lambda s: _perm_irfft_tail(s, n))
+        inv.lower(
+            jax.ShapeDtypeStruct((2, 8, F), jnp.float32)
+        ).compile()
+    except Exception as e:  # noqa: BLE001 — any build failure blocks perm
+        _LAYOUT_BLOCKED.add(key)
+        warnings.warn(
+            f"permuted spectral layout (n={n}, radix={r}) failed to build "
+            f"on backend '{jax.default_backend()}' "
+            f"({type(e).__name__}: {e}); falling back to the standard "
+            "layout for this size",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return "std"
+    _LAYOUT_OK.add(key)
+    return "perm"
 
 
 def spectral_nbins(n: int, backend: str | None = None) -> int:
@@ -539,6 +611,32 @@ def permute_half_spectrum(spec: np.ndarray, n: int) -> np.ndarray:
     vals = spec[..., base]
     out = np.where(k <= n // 2, vals, np.conj(vals))
     return out.reshape(spec.shape[:-1] + (r * n1h1,))
+
+
+def unpermute_half_spectrum(
+    spec: np.ndarray, n: int, radix: int | None = None
+) -> np.ndarray:
+    """Host-side inverse of :func:`permute_half_spectrum`: permuted-layout
+    complex array ``[.., r*(n1//2+1)]`` -> standard half spectrum
+    ``[.., n//2+1]`` (natural bin order).  The r-1 conjugate-mirror bins
+    the permuted layout carries are redundant and simply dropped.
+
+    ``radix`` overrides the layout radix (needed when converting a
+    checkpoint written under a different ``BBCAT_DSP_PERM_RADIX``)."""
+    r = radix if radix is not None else _perm_radix(n)
+    if r is None:
+        raise ValueError(f"no permuted layout applies at n={n}")
+    n1h1 = n // r // 2 + 1
+    if spec.shape[-1] != r * n1h1:
+        raise ValueError(
+            f"expected {r * n1h1} permuted bins (n={n}, radix={r}), "
+            f"got {spec.shape[-1]}"
+        )
+    k = np.arange(n // 2 + 1)
+    # bin k = r*k1 + k2 lives at position k2*n1h1 + k1 (k1 = k//r < n1h1
+    # holds for every k <= n/2, so no mirror/conjugate cases arise)
+    pos = (k % r) * n1h1 + k // r
+    return spec[..., pos]
 
 
 _PACKW: dict[int, tuple] = {}

@@ -164,6 +164,9 @@ class MatrixConvolver:
                  dtype=jnp.float32):
         ir_matrix = np.asarray(ir_matrix)
         self.block = int(block)
+        from .fft import ensure_layout_usable
+
+        ensure_layout_usable(2 * self.block)
         self.H = partition_ir_matrix(ir_matrix, self.block, nparts)
         _, self.nparts, self.c_in, self.c_out, _ = self.H.shape
         self.state = convolver_init(self.c_in, self.block, self.nparts, dtype)

@@ -485,6 +485,12 @@ class NonUniformConvolver:
         self.ratio = int(ratio)
         self.super_block = self.block * self.ratio
         self.nchannels = nchannels
+        # verify both levels' layouts build on this backend before sizing
+        # state (falls back to std with a warning — see fft.py)
+        from .fft import ensure_layout_usable
+
+        ensure_layout_usable(2 * self.block)
+        ensure_layout_usable(2 * self.super_block)
         head, tail = _split_ir(ir2, self.block, self.ratio)
         self.head_parts = 2 * self.ratio
         self.H_head = partition_ir(head, self.block, self.head_parts)

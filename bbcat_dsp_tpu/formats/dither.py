@@ -120,6 +120,22 @@ class ShapedDitherer(Ditherer):
         ).sum(-1).astype(np.float64)
         r -= half  # zero-mean-plus-half-LSB TPDF (unbiases floor truncation)
 
+        # the recurrence is inherently sequential (the quantizer inside the
+        # feedback loop is nonlinear), so the per-frame loop runs natively
+        # (native/src/formatconv.cpp::fc_shaped_dither) when the C++ engine
+        # is available; the Python loop below is the exact fallback (same
+        # RNG stream, so the two paths are bit-identical)
+        from ..utils.native import shaped_dither_block
+
+        eh_c = np.ascontiguousarray(eh)
+        native = shaped_dither_block(
+            d2.astype(np.int64).clip(-(2**31), 2**31 - 1).astype(np.int32),
+            r, eh_c, self._h, bits,
+        )
+        if native is not None:
+            self._ehist[:, :nch] = eh_c
+            return native.reshape(np.asarray(data).shape)
+
         out = np.empty_like(d2)
         for n in range(d2.shape[0]):
             w = d2[n] - self._h @ eh

@@ -134,8 +134,17 @@ def fused_head_pallas(
     internal time chunk): returns ``(y [C, n*B], xcarry' [2,P,C,F],
     prev' [2,C,F])`` — contract identical to chaining the unfused
     ``_head_spectra -> _head_mac -> irfft_tail_planes`` composition."""
-    from ...convolve.fft import _mats, half_window_signs
+    from ...convolve.fft import _mats, half_engine_layout, half_window_signs
 
+    if half_engine_layout(2 * block) != "std":
+        # the in-VMEM DFT below assumes NATURAL bin order; feeding it a
+        # permuted-layout head would return wrong audio, not an error
+        raise ValueError(
+            "fused_head_pallas requires the standard spectral layout, but "
+            f"half_engine_layout({2 * block}) resolves 'perm' — route the "
+            "head through the unfused path (ops_pallas_hook.maybe_fused_head "
+            "does this automatically) or force BBCAT_DSP_PERM_LAYOUT=0"
+        )
     _, P, C, F = H.shape
     B = block
     n = 2 * B

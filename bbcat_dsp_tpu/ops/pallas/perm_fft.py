@@ -103,8 +103,15 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
         rt = max(8, min(64, (1 << 19) // (r * n1)))
         while rt > 8 and rows % rt:
             rt //= 2
-        if rows % rt:
-            rt = rows
+    if rows % rt:
+        # pad rows up to the tile size (zeros transform to zeros) instead
+        # of putting the whole batch in one tile — a large odd row count
+        # would otherwise blow the VMEM budget for direct API callers
+        pad = -rows % rt
+        out = perm_rfft_half_pallas(
+            jnp.pad(x3, ((0, pad), (0, 0), (0, 0))), n, rt=rt,
+            interpret=interpret)
+        return out[:, :rows]
     return pl.pallas_call(
         partial(_fwd_kernel, n, r, prec),
         grid=(rows // rt,),
@@ -174,8 +181,14 @@ def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
         rt = max(8, min(64, (1 << 19) // (r * n1)))
         while rt > 8 and rows % rt:
             rt //= 2
-        if rows % rt:
-            rt = rows
+    if rows % rt:
+        # pad rows up to the tile size rather than one whole-batch tile
+        # (VMEM blow-up for direct API callers with odd row counts)
+        pad = -rows % rt
+        out = perm_irfft_tail_pallas(
+            jnp.pad(spec, ((0, 0), (0, pad), (0, 0), (0, 0))), n, rt=rt,
+            interpret=interpret)
+        return out[:rows]
     consts = pl.BlockSpec((r, n1), lambda g: (0, 0),
                           memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((r, n1h1), lambda g: (0, 0),

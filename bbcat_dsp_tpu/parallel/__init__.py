@@ -10,8 +10,24 @@ from .convolve import (
     time_sharded_render,
 )
 from .loudness import sharded_integrated_loudness
+from .comms import (
+    CommEnv,
+    allreduce_bytes,
+    collective_seconds,
+    config5_scaling_table,
+    halo_bytes,
+    scaling_efficiency,
+    time_sharded_efficiency,
+)
 
 __all__ = [
+    "CommEnv",
+    "allreduce_bytes",
+    "collective_seconds",
+    "config5_scaling_table",
+    "halo_bytes",
+    "scaling_efficiency",
+    "time_sharded_efficiency",
     "make_mesh",
     "channel_sharding",
     "shard_channels",

@@ -5,18 +5,27 @@ WHAT constitutes resumable state per component (SURVEY.md §5): filter
 w-registers, ring contents + cursors, interpolator controllers, convolver
 spectral queues + crossfade phase.  In this framework all of that is
 already explicit NamedTuple pytrees, so checkpointing is generic: any
-state pytree round-trips through orbax (or a plain-npz fallback).
+state pytree round-trips through a plain pickle of host arrays.
 
 Works for ConvolverState, BankState, ModalState, MeterState, Ring,
 BinauralState, ... and arbitrary nests of them.
 
-Portability note: convolver spectral queues are stored in the half-window
-engine's SPECTRAL LAYOUT for the backend that wrote them
+Spectral-layout portability: convolver spectral queues are stored in the
+half-window engine's SPECTRAL LAYOUT of the backend that wrote them
 (``convolve.fft.half_engine_layout`` — permuted on TPU for large block
-sizes, standard elsewhere).  Restoring onto a backend with a different
-layout fails loudly on the shape check below (e.g. 4104 vs 4097 bins at
-an 8192-point tail); re-render the IRs and reset, or re-save from the
-target backend.
+sizes, standard elsewhere), and the two layouts have different bin counts
+(e.g. 4104 vs 4097 at an 8192-point tail).  ``save_state`` therefore tags
+checkpoints with the writer's layout metadata, and ``load_state(like=...)``
+auto-converts spectral leaves between layouts when the target engine
+resolves a different one (std->perm, perm->std, and perm(r1)->perm(r2)).
+Conversion is exact: the permuted layout's extra bins are conjugate
+mirrors, which are dropped going to std and reconstructed going to perm.
+
+Structural portability: checkpoints written before a state NamedTuple
+gained fields do not restore (leaf-count mismatch fails loudly).  Known
+instance: ``BankState`` gained ``targets_lo``/``origins_lo`` planes in
+round 2 — re-save from a current build, or rebuild the bank state and
+re-apply coefficient targets.
 """
 
 from __future__ import annotations
@@ -30,6 +39,21 @@ import jax
 
 __all__ = ["save_state", "load_state"]
 
+_FORMAT = 2
+
+
+def _writer_meta() -> dict:
+    """Layout metadata describing how spectral leaves were produced."""
+    from ..convolve import fft
+
+    return {
+        "format": _FORMAT,
+        "jax_backend": jax.default_backend(),
+        "fft_backend": fft.default_backend(),
+        "perm_layout_env": os.environ.get("BBCAT_DSP_PERM_LAYOUT", "auto"),
+        "perm_radix_env": os.environ.get("BBCAT_DSP_PERM_RADIX", "8"),
+    }
+
 
 def save_state(path: str, state) -> None:
     """Serialise a state pytree (device arrays -> host) to ``path``."""
@@ -37,29 +61,118 @@ def save_state(path: str, state) -> None:
     host_leaves = [np.asarray(leaf) for leaf in leaves]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as fp:
-        pickle.dump({"treedef": treedef, "leaves": host_leaves}, fp)
+        pickle.dump(
+            {"treedef": treedef, "leaves": host_leaves,
+             "meta": _writer_meta()},
+            fp,
+        )
 
 
-def load_state(path: str, like=None):
+def _candidate_radices(meta: dict | None) -> list[int]:
+    """Radices to try when inferring the writer's permuted layout; the
+    writer's env hint first, then every radix _perm_radix can select."""
+    out = []
+    if meta:
+        try:
+            out.append(int(meta.get("perm_radix_env", 8)))
+        except (TypeError, ValueError):
+            pass
+    for r in (8, 16, 32, 4):
+        if r not in out:
+            out.append(r)
+    return out
+
+
+def _perm_n_from_bins(nbins: int, r: int) -> int | None:
+    """Solve nbins == r * (n//r//2 + 1) for n; None if not integral."""
+    if nbins % r:
+        return None
+    n1h1 = nbins // r
+    return 2 * r * (n1h1 - 1)
+
+
+def _try_layout_migration(got: np.ndarray, want: "np.ndarray",
+                          meta: dict | None):
+    """Convert a spectral plane leaf between half-window layouts, or
+    return None when the shapes don't correspond to any layout pair.
+
+    Spectral leaves are stacked re/im planes ``[2, ..., F]``; only the
+    trailing (bin) axis may differ between source and target."""
+    from ..convolve import fft
+
+    if (got.ndim != want.ndim or got.ndim < 2
+            or got.shape[0] != 2 or want.shape[0] != 2
+            or got.shape[:-1] != want.shape[:-1]
+            or got.shape[-1] == want.shape[-1]):
+        return None
+    Fs, Fd = got.shape[-1], want.shape[-1]
+    z = got[0] + 1j * got[1]
+
+    def planes(c):
+        return np.stack([c.real, c.imag]).astype(got.dtype)
+
+    # perm -> std: target bins determine n directly
+    n = 2 * (Fd - 1)
+    for r in _candidate_radices(meta):
+        if _perm_n_from_bins(Fs, r) == n:
+            try:
+                return planes(fft.unpermute_half_spectrum(z, n, radix=r))
+            except ValueError:
+                continue
+    # std -> perm: source bins determine n; target layout must be perm
+    n = 2 * (Fs - 1)
+    if fft.spectral_nbins(n) == Fd and fft.half_engine_layout(n) == "perm":
+        return planes(fft.permute_half_spectrum(z, n))
+    # perm(r_src) -> perm(r_dst)
+    for r_src in _candidate_radices(meta):
+        n = _perm_n_from_bins(Fs, r_src)
+        if (n and fft.half_engine_layout(n) == "perm"
+                and fft.spectral_nbins(n) == Fd):
+            try:
+                std = fft.unpermute_half_spectrum(z, n, radix=r_src)
+            except ValueError:
+                continue
+            return planes(fft.permute_half_spectrum(std, n))
+    return None
+
+
+def load_state(path: str, like=None, migrate_layout: bool = True):
     """Restore a state pytree saved with :func:`save_state`.
 
     If ``like`` is given, its treedef is used (robust against pickle-ing of
-    treedefs across versions) and leaf dtypes/shapes are validated.
+    treedefs across versions) and leaf dtypes/shapes are validated.  When
+    ``migrate_layout`` (default), spectral leaves whose bin count differs
+    from the target because writer and reader resolve different half-window
+    spectral layouts are converted automatically (see module docstring).
     """
     with open(path, "rb") as fp:
         blob = pickle.load(fp)
-    leaves = [jax.numpy.asarray(leaf) for leaf in blob["leaves"]]
+    meta = blob.get("meta")
+    host_leaves = [np.asarray(leaf) for leaf in blob["leaves"]]
     if like is not None:
         ref_leaves, treedef = jax.tree.flatten(like)
-        if len(ref_leaves) != len(leaves):
+        if len(ref_leaves) != len(host_leaves):
             raise ValueError(
-                f"checkpoint has {len(leaves)} leaves, expected "
-                f"{len(ref_leaves)}"
+                f"checkpoint has {len(host_leaves)} leaves, expected "
+                f"{len(ref_leaves)} — the state structure changed since "
+                "this checkpoint was written (see the portability note in "
+                "utils/checkpoint.py)"
             )
-        for got, want in zip(leaves, ref_leaves):
-            if got.shape != want.shape:
-                raise ValueError(
-                    f"leaf shape mismatch: {got.shape} vs {want.shape}"
-                )
-        return jax.tree.unflatten(treedef, leaves)
-    return jax.tree.unflatten(blob["treedef"], leaves)
+        out = []
+        for got, want in zip(host_leaves, ref_leaves):
+            want_np = np.asarray(want)
+            if got.shape != want_np.shape:
+                conv = (_try_layout_migration(got, want_np, meta)
+                        if migrate_layout else None)
+                if conv is None:
+                    raise ValueError(
+                        f"leaf shape mismatch: {got.shape} vs "
+                        f"{want_np.shape} (not a spectral-layout "
+                        "difference; re-save from the target backend)"
+                    )
+                got = conv
+            out.append(jax.numpy.asarray(got))
+        return jax.tree.unflatten(treedef, out)
+    return jax.tree.unflatten(
+        blob["treedef"], [jax.numpy.asarray(x) for x in host_leaves]
+    )

@@ -20,7 +20,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_lib", "native_available", "transfer_rect"]
+__all__ = ["get_lib", "native_available", "transfer_rect",
+           "transfer_rect_path", "shaped_dither_block"]
 
 _LOCK = threading.Lock()
 _LIB = None
@@ -68,6 +69,15 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int64,
         ]
         lib.fc_version.restype = ctypes.c_int
+        try:  # v2 symbols (a stale pre-v2 .so simply lacks them)
+            lib.fc_shaped_dither.restype = None
+            lib.fc_shaped_dither.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+            ]
+        except AttributeError:
+            pass
         _LIB = lib
         return _LIB
 
@@ -82,13 +92,55 @@ def transfer_rect(
     dst_channel: int, dst_channels: int, nchannels: int, nframes: int,
 ) -> bool:
     """Native rectangle transfer on uint8 buffers; False if unavailable."""
+    return transfer_rect_path(
+        src, src_fmt, src_be, src_channel, src_channels,
+        dst, dst_fmt, dst_be, dst_channel, dst_channels,
+        nchannels, nframes,
+    ) >= 0
+
+
+def transfer_rect_path(
+    src: np.ndarray, src_fmt: int, src_be: bool, src_channel: int,
+    src_channels: int, dst: np.ndarray, dst_fmt: int, dst_be: bool,
+    dst_channel: int, dst_channels: int, nchannels: int, nframes: int,
+) -> int:
+    """Like :func:`transfer_rect` but returns the engine's path code:
+    0 = templated conversion loop, 1 = per-frame memmove, 2 = single bulk
+    memmove (same-format fast paths, ref:
+    SoundFormatRawConversions.cpp:20-62); -1 = native engine unavailable
+    or bad format."""
     lib = get_lib()
     if lib is None:
-        return False
-    rc = lib.fc_transfer(
+        return -1
+    return lib.fc_transfer(
         src.ctypes.data, int(src_fmt), int(src_be),
         src_channel, src_channels,
         dst.ctypes.data, int(dst_fmt), int(dst_be),
         dst_channel, dst_channels, nchannels, nframes,
     )
-    return rc == 0
+
+
+def shaped_dither_block(
+    data: np.ndarray, r: np.ndarray, ehist: np.ndarray, h: np.ndarray,
+    bits: int,
+) -> np.ndarray | None:
+    """Native error-feedback dither recurrence over ``data [nfr, nch]``
+    (int32, MSB-aligned) with TPDF randoms ``r [nfr, nch]`` (float64,
+    already centred), error history ``ehist [order, nch]`` (float64,
+    updated IN PLACE) and feedback FIR ``h [order]``.  Returns the dithered
+    int32 block, or ``None`` when the native engine is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fc_shaped_dither"):
+        return None
+    nfr, nch = data.shape
+    data32 = np.ascontiguousarray(data, np.int32)
+    r64 = np.ascontiguousarray(r, np.float64)
+    h64 = np.ascontiguousarray(h, np.float64)
+    assert ehist.flags.c_contiguous and ehist.dtype == np.float64
+    out = np.empty((nfr, nch), np.int32)
+    lib.fc_shaped_dither(
+        data32.ctypes.data, r64.ctypes.data, ehist.ctypes.data,
+        h64.ctypes.data, ehist.shape[0], nfr, nch, int(bits),
+        out.ctypes.data,
+    )
+    return out

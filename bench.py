@@ -21,9 +21,11 @@ chain of renders executed inside one device program (intercept = relay
 round-trip, which cancels); the minimum over spaced attempts is kept (the
 standard estimator under external interference, which only ever ADDS time).
 
-Prints ONE JSON line:
+Output contract: the LAST complete JSON line on stdout is the result —
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 where vs_baseline is the real-time factor divided by the 100x target.
+(The watchdog/backstop paths may emit interim best-so-far lines before
+the final one; consumers must parse the last line, as the driver does.)
 """
 
 from __future__ import annotations

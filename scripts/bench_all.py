@@ -207,11 +207,42 @@ def bench_config5():
     }
 
 
+def _provenance() -> dict:
+    """Git SHA + UTC timestamp + layout env, so BENCH_EXTRA.json is always
+    attributable to the exact code state that produced it (VERDICT r2 #8:
+    prose numbers must never run ahead of artifacts again)."""
+    import subprocess
+    import time
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=10, check=True,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=10, check=True,
+        ).stdout.strip() != ""
+    except Exception:  # noqa: BLE001
+        sha, dirty = "unknown", None
+    return {
+        "git_sha": sha,
+        "git_dirty": dirty,
+        "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "env": {
+            k: v for k, v in os.environ.items()
+            if k.startswith("BBCAT_DSP_")
+        },
+    }
+
+
 def main() -> int:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    results = {"device": str(jax.devices()[0])}
+    results = {"device": str(jax.devices()[0]), "provenance": _provenance()}
     for fn in [bench_config1, bench_config2, bench_config3, bench_config4,
                bench_config5]:
         try:

@@ -21,10 +21,26 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-QDIR = "/tmp/tpuq"
+QDIR = os.environ.get("BBCAT_TPUQ_DIR", "/tmp/tpuq")
+
+
+def _secure_qdir() -> None:
+    """The worker EXECS whatever lands in the queue, so the queue dir must
+    be owned by us and not writable by others (a world-writable fixed path
+    on a shared host would let any local user run code as this user)."""
+    os.makedirs(QDIR, mode=0o700, exist_ok=True)
+    st = os.stat(QDIR)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        raise SystemExit(
+            f"refusing to poll {QDIR}: owned by uid {st.st_uid} with mode "
+            f"{oct(st.st_mode & 0o777)} (need: owned by uid {os.getuid()}, "
+            "not group/world-writable).  Set BBCAT_TPUQ_DIR to a private "
+            "directory."
+        )
 
 
 def main() -> None:
+    _secure_qdir()
     os.makedirs(f"{QDIR}/in", exist_ok=True)
     os.makedirs(f"{QDIR}/out", exist_ok=True)
     with open(f"{QDIR}/pid", "w") as fp:

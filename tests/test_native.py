@@ -35,7 +35,7 @@ def _random_packed(rng, fmt, be, nsamples):
 
 def test_native_builds():
     assert native.native_available(), "native formatconv failed to build"
-    assert native.get_lib().fc_version() == 1
+    assert native.get_lib().fc_version() == 2
 
 
 @pytest.mark.parametrize(
@@ -86,3 +86,82 @@ def test_native_inplace_widening(rng):
     assert ok
     got = buf.view(np.float32).reshape(nfr, 2)[:, 0]
     np.testing.assert_array_equal(got, vals)
+
+
+def test_same_format_bulk_copy_path_engages(rng):
+    """Same-format same-endian rectangles take the memcpy fast paths (ref:
+    __CopyMemory_{2,3,4,8}, SoundFormatRawConversions.cpp:20-62) and stay
+    byte-exact.  Path codes: 2 = single bulk memmove (fully contiguous),
+    1 = per-frame memmove (sub-rectangle), 0 = templated conversion."""
+    assert native.native_available()
+    for fmt in FORMATS:
+        bps = get_bytes_per_sample(fmt)
+        nfr, nch = 50, 8
+        src = np.frombuffer(
+            _random_packed(rng, fmt, False, nfr * nch), np.uint8
+        ).copy()
+        # fully contiguous: ONE bulk memmove
+        dst = np.zeros_like(src)
+        path = native.transfer_rect_path(
+            src, fmt, False, 0, nch, dst, fmt, False, 0, nch, nch, nfr)
+        assert path == 2, (fmt, path)
+        np.testing.assert_array_equal(src, dst)
+        # sub-rectangle: per-frame memmove, byte-exact vs a numpy gather
+        dst2 = np.zeros(nfr * 16 * bps, np.uint8)
+        path = native.transfer_rect_path(
+            src, fmt, False, 2, nch, dst2, fmt, False, 5, 16, 4, nfr)
+        assert path == 1, (fmt, path)
+        s = src.reshape(nfr, nch * bps)[:, 2 * bps:6 * bps]
+        d = dst2.reshape(nfr, 16 * bps)[:, 5 * bps:9 * bps]
+        np.testing.assert_array_equal(s, d)
+        # a converting pair still routes through the templated engine
+        if fmt != SampleFormat.FLOAT:
+            dstc = np.zeros(nfr * nch * 4, np.uint8)
+            path = native.transfer_rect_path(
+                src, fmt, False, 0, nch, dstc, SampleFormat.FLOAT, False,
+                0, nch, nch, nfr)
+            assert path == 0
+
+
+def test_same_format_bulk_copy_inplace_widening(rng):
+    """The memmove fast path keeps the backwards-walk in-place guarantee
+    (ref: SoundFormatConversions.cpp:178-185)."""
+    assert native.native_available()
+    nfr = 33
+    vals = (rng.standard_normal(nfr) * 0.5).astype(np.float32)
+    buf = np.zeros(nfr * 2 * 4, np.uint8)
+    buf[: nfr * 4] = np.frombuffer(vals.tobytes(), np.uint8)
+    path = native.transfer_rect_path(
+        buf, SampleFormat.FLOAT, False, 0, 1,
+        buf, SampleFormat.FLOAT, False, 0, 2, 1, nfr)
+    assert path == 1
+    got = buf.view(np.float32).reshape(nfr, 2)[:, 0]
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_native_shaped_dither_matches_python(rng):
+    """fc_shaped_dither == the Python error-feedback loop, bit-exact,
+    including the carried error history (same RNG stream by contract)."""
+    from bbcat_dsp_tpu.formats.dither import ShapedDitherer
+    from bbcat_dsp_tpu.utils import native as nat
+
+    assert nat.native_available()
+    data = (rng.integers(-2**26, 2**26, size=400 * 4) << 5).astype(np.int32)
+    ch = np.tile(np.arange(4), 400)
+    a = ShapedDitherer(shape=(1.0, -0.5, 0.25), seed=11)
+    b = ShapedDitherer(shape=(1.0, -0.5, 0.25), seed=11)
+    ya = a.dither_block(data, 12, channels=ch)
+
+    orig = nat.shaped_dither_block
+    try:
+        nat.shaped_dither_block = lambda *args, **kw: None  # force python
+        yb = b.dither_block(data, 12, channels=ch)
+    finally:
+        nat.shaped_dither_block = orig
+    np.testing.assert_array_equal(ya, yb)
+    np.testing.assert_allclose(a._ehist, b._ehist)
+    # streaming == whole-signal through the native path too
+    c = ShapedDitherer(shape=(1.0, -0.5, 0.25), seed=11)
+    parts = [c.dither_block(blk, 12, channels=ch[: blk.size])
+             for blk in np.split(data, 4)]
+    np.testing.assert_array_equal(np.concatenate(parts), ya)

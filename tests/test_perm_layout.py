@@ -371,3 +371,101 @@ def test_grouped_mac_kernel_perm_signs(rng):
     np.testing.assert_allclose(got, ref, atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(q2), xw[:, (np.arange(P) - slot0) % P], atol=2e-6)
+
+
+def test_unpermute_inverts_permute(rng):
+    """unpermute_half_spectrum is the exact inverse of
+    permute_half_spectrum (both directions, incl. the redundant
+    conjugate-mirror bins on the perm side)."""
+    for n in (4096, 8192):
+        spec = (rng.standard_normal((3, n // 2 + 1))
+                + 1j * rng.standard_normal((3, n // 2 + 1)))
+        # real-signal hermitian constraints the forward transform imposes
+        spec[..., 0] = spec[..., 0].real
+        spec[..., -1] = spec[..., -1].real
+        perm = F.permute_half_spectrum(spec, n)
+        back = F.unpermute_half_spectrum(perm, n)
+        np.testing.assert_array_equal(back, spec)
+        np.testing.assert_array_equal(
+            F.permute_half_spectrum(back, n), perm)
+    with pytest.raises(ValueError):
+        F.unpermute_half_spectrum(perm, 1024)  # no perm layout at 1024
+
+
+def test_engine_constructor_falls_back_when_perm_build_fails(
+        rng, force_dftmm, monkeypatch):
+    """VERDICT r2 #3: if the permuted-layout program fails to BUILD on the
+    target backend, the engine constructor falls back to the standard
+    layout with a warning and still produces a working convolver."""
+    from bbcat_dsp_tpu.convolve import BlockConvolver
+
+    monkeypatch.setattr(F, "_LAYOUT_BLOCKED", set())
+    monkeypatch.setattr(F, "_LAYOUT_OK", set())
+
+    def boom(x, n, prec=None):
+        raise RuntimeError("mosaic rejected the program")
+
+    monkeypatch.setattr(F, "_perm_rfft_half", boom)
+
+    B = 2048  # 2*B = 4096 > _MAX_DIRECT -> perm would apply
+    ir = (rng.standard_normal(3 * B) * 0.3).astype(np.float64)
+    x = rng.standard_normal(4 * B).astype(np.float32)
+    with pytest.warns(RuntimeWarning, match="failed to build"):
+        conv = BlockConvolver(ir, block=B)
+    # the whole engine resolved std: state sized for natural bin order
+    assert F.half_engine_layout(2 * B, "dftmm") == "std"
+    assert conv.state.queue.shape[-1] == 2 * B // 2 + 1
+    got = np.concatenate(
+        [np.asarray(conv.process_block(jnp.asarray(x[k * B:(k + 1) * B])))
+         for k in range(4)])
+    from scipy.signal import fftconvolve
+
+    exp = fftconvolve(x.astype(np.float64), ir)[: 4 * B]
+    assert snr_db(exp, got) > 90.0
+
+
+def test_fused_head_rejects_perm_layout(force_dftmm):
+    """VERDICT r2 #7: calling the fused head super-kernel directly with a
+    perm-layout head size fails loudly instead of returning wrong audio."""
+    from bbcat_dsp_tpu.ops.pallas.fused_head import fused_head_pallas
+
+    B = 2048  # 2*B = 4096 resolves perm under dftmm
+    assert F.half_engine_layout(2 * B, "dftmm") == "perm"
+    C, P, Fb = 8, 2, F.spectral_nbins(2 * B, "dftmm")
+    x = jnp.zeros((C, 2 * B))
+    carry = jnp.zeros((2, P, C, Fb))
+    prev = jnp.zeros((2, C, Fb))
+    H = jnp.zeros((2, P, C, Fb))
+    with pytest.raises(ValueError, match="standard spectral layout"):
+        fused_head_pallas(x, carry, prev, H, B, interpret=True)
+
+
+def test_perm_fft_pallas_pads_odd_row_counts(rng):
+    """Direct API calls with row counts not divisible by the tile size are
+    padded (not collapsed into one whole-batch VMEM tile) and match the
+    XLA formulation exactly."""
+    from bbcat_dsp_tpu.ops.pallas.perm_fft import (
+        perm_irfft_tail_pallas,
+        perm_rfft_half_pallas,
+    )
+
+    n, r = 4096, 8
+    n1 = n // r
+    rows = 12  # not a multiple of 8
+    x = rng.standard_normal((rows, r // 2, n1)).astype(np.float32)
+    got = np.asarray(perm_rfft_half_pallas(jnp.asarray(x), n, interpret=True))
+    exp = np.asarray(F._perm_rfft_half(
+        jnp.asarray(x.reshape(rows, n // 2)), n))
+    assert got.shape == (2, rows, r, n1 // 2 + 1)
+    np.testing.assert_allclose(
+        got.reshape(2, rows, -1), exp, rtol=0, atol=np.abs(exp).max() * 1e-5)
+
+    spec = rng.standard_normal((2, rows, r, n1 // 2 + 1)).astype(np.float32)
+    got_i = np.asarray(perm_irfft_tail_pallas(jnp.asarray(spec), n,
+                                              interpret=True))
+    exp_i = np.asarray(F._perm_irfft_tail(
+        jnp.asarray(spec.reshape(2, rows, -1)), n))
+    assert got_i.shape == (rows, r // 2, n1)
+    np.testing.assert_allclose(
+        got_i.reshape(rows, -1), exp_i,
+        rtol=0, atol=np.abs(exp_i).max() * 1e-5)

@@ -320,7 +320,10 @@ def test_dw_ramp_vs_compiled_reference_hard_filters(ref_dsp, rng):
 
     def snr(a, b):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        return 10 * np.log10(np.sum(b ** 2) / np.sum((a - b) ** 2))
+        err = np.sum((a - b) ** 2)
+        if err == 0.0:  # exact agreement (no RuntimeWarning)
+            return np.inf
+        return 10 * np.log10(np.sum(b ** 2) / err)
 
     # (1) golden with the reference's Sample_t cast == compiled reference
     g_cast = np.stack([

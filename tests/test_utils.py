@@ -35,3 +35,82 @@ def test_timer():
     t = Timer()
     out, per = t.time(lambda v: v * 2, jnp.ones(16), iters=3)
     assert per >= 0.0 and np.asarray(out).shape == (16,)
+
+
+def test_checkpoint_layout_migration_roundtrip(tmp_path, rng):
+    """VERDICT r2 #4: a checkpoint written under the PERMUTED spectral
+    layout (TPU default at large block sizes) restores onto a STANDARD
+    layout engine — and vice versa — with the spectral queues converted
+    automatically; the resumed stream stays correct (>=90 dB vs scipy)."""
+    import jax
+    from scipy.signal import fftconvolve
+
+    import bbcat_dsp_tpu.convolve.fft as fftmod
+
+    def snr_db(ref, got):
+        ref = np.asarray(ref, np.float64)
+        err = np.sum((ref - np.asarray(got, np.float64)) ** 2)
+        return np.inf if err == 0 else 10 * np.log10(np.sum(ref**2) / err)
+
+    B = 2048  # 2*B = 4096 -> perm layout under dftmm
+    ir = (rng.standard_normal(3 * B) * 0.3).astype(np.float64)
+    x = rng.standard_normal(8 * B).astype(np.float32)
+    exp = fftconvolve(x.astype(np.float64), ir)[: 8 * B]
+
+    orig = fftmod.default_backend
+    p1 = str(tmp_path / "perm.ckpt")
+    p2 = str(tmp_path / "std.ckpt")
+
+    # --- write under perm (forced dftmm), first half of the stream ---
+    fftmod.default_backend = lambda: "dftmm"
+    jax.clear_caches()
+    try:
+        a = BlockConvolver(ir, block=B)
+        assert a.state.queue.shape[-1] == fftmod.spectral_nbins(2 * B)
+        y1 = np.concatenate(
+            [np.asarray(a.process_block(jnp.asarray(x[k*B:(k+1)*B])))
+             for k in range(4)])
+        save_state(p1, a.state)
+    finally:
+        fftmod.default_backend = orig
+        jax.clear_caches()
+
+    # --- restore onto a std-layout engine (xla on CPU), second half ---
+    b = BlockConvolver(ir, block=B)
+    assert b.state.queue.shape[-1] == 2 * B // 2 + 1
+    b.state = load_state(p1, like=b.state)
+    y2 = np.concatenate(
+        [np.asarray(b.process_block(jnp.asarray(x[k*B:(k+1)*B])))
+         for k in range(4, 6)])
+    assert snr_db(exp[: 6 * B], np.concatenate([y1, y2])) > 90.0
+
+    # --- and back: std checkpoint onto a perm engine, final quarter ---
+    save_state(p2, b.state)
+    fftmod.default_backend = lambda: "dftmm"
+    jax.clear_caches()
+    try:
+        c = BlockConvolver(ir, block=B)
+        c.state = load_state(p2, like=c.state)
+        assert c.state.queue.shape[-1] == fftmod.spectral_nbins(2 * B)
+        y3 = np.concatenate(
+            [np.asarray(c.process_block(jnp.asarray(x[k*B:(k+1)*B])))
+             for k in range(6, 8)])
+    finally:
+        fftmod.default_backend = orig
+        jax.clear_caches()
+    got = np.concatenate([y1, y2, y3])
+    assert snr_db(exp, got) > 90.0
+
+
+def test_checkpoint_non_spectral_mismatch_still_fails(tmp_path, rng):
+    """Shape mismatches that are NOT a layout difference still fail loudly."""
+    import pytest
+
+    from bbcat_dsp_tpu.buffers.ring import ring_init
+
+    a = ring_init((2,), 8)
+    p = str(tmp_path / "ring.ckpt")
+    save_state(p, a)
+    b = ring_init((2,), 16)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_state(p, like=b)
