@@ -37,6 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import precise_dot as _dot
+from .common import precise_dot_split as _dot_split
+from .common import split_bf16 as _split
 
 __all__ = ["perm_rfft_half_pallas", "perm_irfft_tail_pallas"]
 
@@ -48,18 +50,16 @@ __all__ = ["perm_rfft_half_pallas", "perm_irfft_tail_pallas"]
 MAX_KERNEL_N1 = 1024
 
 
-def _fwd_kernel(n: int, r: int, prec, x_ref, twr_ref, twi_ref,
-                c1r_ref, c1i_ref, o_ref):
+def _fwd_kernel(n: int, r: int, prec, x_ref, twr_ref, twi_ref, *rest):
     from ...convolve.fft import _radix_fft
 
+    o_ref = rest[-1]
     # butterflied radix stage over the unrolled axis (shared subterms in
     # registers; zero half and real input prune to ~(r/2)·log2(r)
     # butterflies)
     xs = [(x_ref[:, j], None) for j in range(r // 2)]
     xs += [(None, None)] * (r // 2)
     Y = _radix_fft(xs, -1.0)
-    c1r = c1r_ref[...]
-    c1i = c1i_ref[...]
     trs = []
     tis = []
     for k2 in range(r):
@@ -76,8 +76,29 @@ def _fwd_kernel(n: int, r: int, prec, x_ref, twr_ref, twi_ref,
     rt = x_ref.shape[0]
     tr = jnp.concatenate(trs, axis=0)
     ti = jnp.concatenate(tis, axis=0)
-    zr = _dot(tr, c1r, prec) - _dot(ti, c1i, prec)
-    zi = _dot(tr, c1i, prec) + _dot(ti, c1r, prec)
+    if prec == jax.lax.Precision.HIGHEST:
+        c1r_ref, c1i_ref = rest[:-1]
+        c1r = c1r_ref[...]
+        c1i = c1i_ref[...]
+        zr = _dot(tr, c1r, prec) - _dot(ti, c1i, prec)
+        zi = _dot(tr, c1i, prec) + _dot(ti, c1r, prec)
+    else:
+        # HIGH: the stage-matrix pair arrives PRE-SPLIT (bf16 hi/lo) so
+        # the kernel holds 4.2 MB of constants total instead of the f32
+        # pair PLUS one hi/lo re-split per dot (4 dots -> 20.9 MB measured
+        # scoped-vmem on v5e, past the 16 MB limit); tr/ti split ONCE and
+        # reused across their two dots each
+        c1rh_ref, c1rl_ref, c1ih_ref, c1il_ref = rest[:-1]
+        c1rh = c1rh_ref[...]
+        c1rl = c1rl_ref[...]
+        c1ih = c1ih_ref[...]
+        c1il = c1il_ref[...]
+        trh, trl = _split(tr)
+        tih, til = _split(ti)
+        zr = (_dot_split(trh, trl, c1rh, c1rl)
+              - _dot_split(tih, til, c1ih, c1il))
+        zi = (_dot_split(trh, trl, c1ih, c1il)
+              + _dot_split(tih, til, c1rh, c1rl))
     for k2 in range(r):
         o_ref[0, :, k2] = zr[k2 * rt:(k2 + 1) * rt]
         o_ref[1, :, k2] = zi[k2 * rt:(k2 + 1) * rt]
@@ -98,9 +119,13 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
     c1r = jnp.asarray(cr[:, :n1h1])
     c1i = jnp.asarray(ci[:, :n1h1])
     if rt is None:
-        # bound the concatenated big-M stage operands (2 * r*rt * n1 f32
-        # ~ 4 MB) so VMEM stays inside budget at any radix/size
-        rt = max(8, min(64, (1 << 19) // (r * n1)))
+        # bound the concatenated big-M stage operands so the radix-stage
+        # registers + tr/ti splits + dot partials + the 4.2 MB (pre-split)
+        # constant pair stay inside the 16 MB scoped-VMEM limit; rt=64 at
+        # n1=1024 measured 20.9 MB on v5e with in-kernel const splits —
+        # the splits are hoisted to the host now, but 1<<18 (rt=32)
+        # keeps the data-side share conservative
+        rt = max(8, min(32, (1 << 18) // (r * n1)))
         while rt > 8 and rows % rt:
             rt //= 2
     if rows % rt:
@@ -112,6 +137,14 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
             jnp.pad(x3, ((0, pad), (0, 0), (0, 0))), n, rt=rt,
             interpret=interpret)
         return out[:, :rows]
+    if prec == jax.lax.Precision.HIGHEST:
+        consts = (c1r, c1i)
+    else:
+        c1rh, c1rl = _split(c1r)
+        c1ih, c1il = _split(c1i)
+        consts = (c1rh, c1rl, c1ih, c1il)
+    cspec = pl.BlockSpec((n1, n1h1), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_fwd_kernel, n, r, prec),
         grid=(rows // rt,),
@@ -122,33 +155,52 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((r, n1), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, n1h1), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, n1h1), lambda g: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + [cspec] * len(consts),
         out_specs=pl.BlockSpec((2, rt, r, n1h1), lambda g: (0, g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, rows, r, n1h1), jnp.float32),
+        # the big-M stage dot's operands + partials measured 17.8 MB at
+        # rt=32/n1=1024 against Mosaic's default 16 MB scoped-vmem budget;
+        # v5e has 128 MB of VMEM — raise the scoped limit rather than
+        # shrink the MXU tile
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(x3, jnp.asarray(twr), jnp.asarray(twi), c1r, c1i)
+    )(x3, jnp.asarray(twr), jnp.asarray(twi), *consts)
 
 
 def _inv_kernel(n: int, r: int, prec, s_ref, wr_ref, wi_ref,
-                twr_ref, twi_ref, e1r_ref, e1i_ref, o_ref):
+                twr_ref, twi_ref, *rest):
     from ...convolve.fft import _radix_fft
 
+    o_ref = rest[-1]
     inv_n = 1.0 / n
-    e1r = e1r_ref[...]
-    e1i = e1i_ref[...]
     rt = s_ref.shape[1]
     # one big-M matmul pair over all k2 rows (E1 shared): [r*rt, n1h1]
     xr = jnp.concatenate(
         [s_ref[0, :, k2] * wr_ref[k2] for k2 in range(r)], axis=0)
     xi = jnp.concatenate(
         [s_ref[1, :, k2] * wi_ref[k2] for k2 in range(r)], axis=0)
-    gr = _dot(xr, e1r, prec) - _dot(xi, e1i, prec)
-    gi = _dot(xr, e1i, prec) + _dot(xi, e1r, prec)
+    if prec == jax.lax.Precision.HIGHEST:
+        e1r_ref, e1i_ref = rest[:-1]
+        e1r = e1r_ref[...]
+        e1i = e1i_ref[...]
+        gr = _dot(xr, e1r, prec) - _dot(xi, e1i, prec)
+        gi = _dot(xr, e1i, prec) + _dot(xi, e1r, prec)
+    else:
+        # HIGH with pre-split constants + one-time xr/xi splits (see the
+        # forward kernel's VMEM note)
+        e1rh_ref, e1rl_ref, e1ih_ref, e1il_ref = rest[:-1]
+        e1rh = e1rh_ref[...]
+        e1rl = e1rl_ref[...]
+        e1ih = e1ih_ref[...]
+        e1il = e1il_ref[...]
+        xrh, xrl = _split(xr)
+        xih, xil = _split(xi)
+        gr = (_dot_split(xrh, xrl, e1rh, e1rl)
+              - _dot_split(xih, xil, e1ih, e1il))
+        gi = (_dot_split(xrh, xrl, e1ih, e1il)
+              + _dot_split(xih, xil, e1rh, e1rl))
     bs = []
     for k2 in range(r):
         g_r = gr[k2 * rt:(k2 + 1) * rt]
@@ -176,9 +228,8 @@ def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
     e1r = jnp.asarray(cr[:n1h1])
     e1i = jnp.asarray(-ci[:n1h1])
     if rt is None:
-        # bound the concatenated big-M stage operands (2 * r*rt * n1 f32
-        # ~ 4 MB) so VMEM stays inside budget at any radix/size
-        rt = max(8, min(64, (1 << 19) // (r * n1)))
+        # same scoped-VMEM bound as the forward kernel (see there)
+        rt = max(8, min(32, (1 << 18) // (r * n1)))
         while rt > 8 and rows % rt:
             rt //= 2
     if rows % rt:
@@ -189,6 +240,12 @@ def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
             jnp.pad(spec, ((0, 0), (0, pad), (0, 0), (0, 0))), n, rt=rt,
             interpret=interpret)
         return out[:rows]
+    if prec == jax.lax.Precision.HIGHEST:
+        econsts = (e1r, e1i)
+    else:
+        e1rh, e1rl = _split(e1r)
+        e1ih, e1il = _split(e1i)
+        econsts = (e1rh, e1rl, e1ih, e1il)
     consts = pl.BlockSpec((r, n1), lambda g: (0, 0),
                           memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((r, n1h1), lambda g: (0, 0),
@@ -201,11 +258,14 @@ def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
         in_specs=[
             pl.BlockSpec((2, rt, r, n1h1), lambda g: (0, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            wspec, wspec, consts, consts, espec, espec,
-        ],
+            wspec, wspec, consts, consts,
+        ] + [espec] * len(econsts),
         out_specs=pl.BlockSpec((rt, r // 2, n1), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, r // 2, n1), jnp.float32),
+        # same scoped-vmem headroom as the forward kernel (see there)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(spec, jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(twr),
-      jnp.asarray(twi), e1r, e1i)
+      jnp.asarray(twi), *econsts)
