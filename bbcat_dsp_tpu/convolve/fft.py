@@ -287,19 +287,31 @@ def _perm_radix(n: int) -> int | None:
     ``None`` when the standard layout applies (small n, or n1 too big for
     a direct stage-3 matrix).
 
-    BBCAT_DSP_PERM_RADIX selects the radix (default 8; 16 halves the
-    dominant stage-matmul flops at ~2x the tiny VPU radix stage — A/B on
-    hardware).  Falls back to 8, then std, when the requested radix does
-    not divide ``n`` suitably."""
+    BBCAT_DSP_PERM_RADIX selects the radix; the default ("auto") picks
+    the largest radix <= 32 that keeps the inner transform in the
+    256..1024 window — the v5e A/B at config #5 measured monotonic gains
+    8 -> 16 -> 32 (26.9x -> 30.9x -> 32.8x RT with the fused kernels: the
+    dense [n1, n1/2+1] stage matmul dominates, so smaller n1 wins) and a
+    REGRESSION at 64 (31.3x: K = n1 = 128 under-utilises the MXU contract
+    dim, and the unrolled VPU butterfly stage keeps growing).  The lower
+    bound keeps n1 inside the Pallas kernels' constant budget
+    (``ops.pallas.perm_fft.MAX_KERNEL_N1``); an explicit env radix
+    bypasses the window.  Falls back to 8, then std, when the candidates
+    do not divide ``n`` suitably."""
     if n <= _MAX_DIRECT:
         return None
     import os
 
-    try:
-        want = int(os.environ.get("BBCAT_DSP_PERM_RADIX", "8"))
-    except ValueError:
-        want = 8
-    for r in (want, _PERM_RADIX):
+    spec = os.environ.get("BBCAT_DSP_PERM_RADIX", "auto")
+    cands: list[int] = []
+    if spec != "auto":
+        try:
+            cands.append(int(spec))
+        except ValueError:
+            pass
+    cands += [r for r in (32, 16, 8) if 256 <= n // r <= 1024]
+    cands.append(_PERM_RADIX)
+    for r in cands:
         if (r >= 4 and r & (r - 1) == 0  # radix stage is radix-2 DIT
                 and n % (2 * r) == 0 and n // r <= _MAX_DIRECT
                 and (n // r) % 2 == 0):
@@ -493,10 +505,14 @@ def half_sign_section(n: int, backend: str | None = None) -> int:
 _PERMC: dict[tuple, tuple] = {}
 
 
-def _perm_consts(n: int):
+def _perm_consts(n: int, r: int | None = None):
     """Numpy constant planes for the permuted engine at size ``n``
-    (keyed by (n, radix) — the radix is env-selectable)."""
-    r = _perm_radix(n)
+    (keyed by (n, radix) — the radix is env-selectable; pass ``r``
+    explicitly when the caller's radix is fixed by its data shape, e.g.
+    the Pallas kernel wrappers, so a different env default cannot
+    mismatch the tables)."""
+    if r is None:
+        r = _perm_radix(n)
     key = (n, r)
     if key not in _PERMC:
         n1 = n // r

@@ -100,13 +100,26 @@ def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int,
                                        interpret=_interpret())
 
 
+def _permfft_mode() -> str | None:
+    """BBCAT_DSP_PALLAS_PERMFFT gate, shared by both directions:
+    "auto" (default) runs the fused kernels on TPU — the v5e A/B at
+    config #5 measured perm+kernels 26.9-32.8x RT vs 23.5x std / 21.4x
+    XLA-perm, radix-dependent — and declines off-TPU (the interpreter
+    is orders of magnitude slower than the XLA formulation); "1" forces
+    (interpreted off-TPU, how the CPU tests exercise kernel parity);
+    "0" disables."""
+    mode = os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "auto")
+    if mode == "0":
+        return None
+    if mode != "1" and _interpret():
+        return None
+    return mode
+
+
 def maybe_perm_rfft_half(x, n: int):
     """Fused permuted-layout half-window forward transform (``None`` ->
-    the XLA formulation in fft._perm_rfft_half runs).  Gated by
-    BBCAT_DSP_PALLAS_PERMFFT (default "0" until the hardware A/B lands;
-    "1" forces, interpreted off-TPU)."""
-    mode = os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "0")
-    if mode == "0":
+    the XLA formulation in fft._perm_rfft_half runs)."""
+    if _permfft_mode() is None:
         return None
     lead = x.shape[:-1]
     m = n // 2
@@ -128,8 +141,7 @@ def maybe_perm_rfft_half(x, n: int):
 
 def maybe_perm_irfft_tail(spec, n: int):
     """Fused permuted-layout tail inverse (``None`` -> XLA path)."""
-    mode = os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "0")
-    if mode == "0":
+    if _permfft_mode() is None:
         return None
     lead = spec.shape[1:-1]
     rows = 1

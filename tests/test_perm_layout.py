@@ -16,6 +16,15 @@ import pytest
 from bbcat_dsp_tpu.convolve import fft as F
 
 
+def high_atol() -> float:
+    """Tolerance for kernel-vs-XLA comparisons at Precision.HIGH: both
+    sides are the ~1.2e-5-operand-error 3-pass bf16 scheme, but the
+    kernel defaults to the Karatsuba 3-dot order (hardware A/B winner)
+    while XLA's _cmatmul defaults to classic, so allow the full HIGH
+    band rather than the near-identical 5e-6 of matching formulations."""
+    return 1.5e-5
+
+
 def snr_db(ref, got):
     ref = np.asarray(ref, np.float64)
     got = np.asarray(got, np.float64)
@@ -25,16 +34,26 @@ def snr_db(ref, got):
     return 10 * np.log10(np.sum(ref**2) / err)
 
 
-def test_perm_layout_resolution():
+def test_perm_layout_resolution(monkeypatch):
     assert F.half_engine_layout(1024, "dftmm") == "std"
     assert F.half_engine_layout(8192, "dftmm") == "perm"
     assert F.half_engine_layout(8192, "xla") == "std"
-    # n1 > _MAX_DIRECT falls back to the std four-step
-    assert F.half_engine_layout(32768, "dftmm") == "std"
-    assert F.spectral_nbins(8192, "dftmm") == 8 * 513
+    # auto radix targets the 256..1024 inner-transform window (v5e A/B)
+    assert F._perm_radix(8192) == 32
+    assert F._perm_radix(4096) == 16
+    assert F._perm_radix(16384) == 32
+    assert F._perm_radix(32768) == 32
+    # past the window (n1 > 1024 at radix 32, > _MAX_DIRECT at the radix-8
+    # fallback) the std four-step serves
+    assert F.half_engine_layout(65536, "dftmm") == "std"
+    assert F.spectral_nbins(8192, "dftmm") == 32 * 129  # n1 = 256
     assert F.spectral_nbins(1024, "dftmm") == 513
-    assert F.half_sign_section(8192, "dftmm") == 513
+    assert F.half_sign_section(8192, "dftmm") == 129
     assert F.half_sign_section(1024, "dftmm") == 1
+    # explicit env radix bypasses the window
+    monkeypatch.setenv("BBCAT_DSP_PERM_RADIX", "8")
+    assert F._perm_radix(8192) == 8
+    assert F.spectral_nbins(8192, "dftmm") == 8 * 513
 
 
 @pytest.mark.parametrize("n", [4096, 8192])
@@ -112,7 +131,7 @@ def test_perm_radix16_matches_numpy(rng, monkeypatch):
         "kernel path produced bit-identical output — hook likely never "
         "engaged the Pallas kernel")
     sf = np.abs(f_ref).max()
-    np.testing.assert_allclose(f_got / sf, f_ref / sf, atol=5e-6)
+    np.testing.assert_allclose(f_got / sf, f_ref / sf, atol=high_atol())
 
 
 def test_perm_radix32_matches_numpy(rng, monkeypatch):
@@ -257,8 +276,9 @@ def test_perm_fft_pallas_kernels_match_xla(rng, n, monkeypatch):
     si = np.abs(ref_i).max()
     # kernel reproduces HIGH precision by manual bf16 operand splitting;
     # XLA's HIGH is the same 3-pass scheme, residual ~1e-6 relative
-    np.testing.assert_allclose(got_f / sf, ref_f / sf, atol=5e-6)
-    np.testing.assert_allclose(got_i / si, ref_i / si, atol=5e-6)
+    # (wider band under karatsuba — see high_atol)
+    np.testing.assert_allclose(got_f / sf, ref_f / sf, atol=high_atol())
+    np.testing.assert_allclose(got_i / si, ref_i / si, atol=high_atol())
 
     # leading-dim handling through the engine-shaped call [P, C, m]
     x4 = rng.standard_normal((4, 4, n // 2)).astype(np.float32)
@@ -268,7 +288,7 @@ def test_perm_fft_pallas_kernels_match_xla(rng, n, monkeypatch):
     jax.clear_caches()
     got4 = np.asarray(F._perm_rfft_half(jnp.asarray(x4), n))
     jax.clear_caches()
-    np.testing.assert_allclose(got4 / sf, ref4 / sf, atol=5e-6)
+    np.testing.assert_allclose(got4 / sf, ref4 / sf, atol=high_atol())
 
 
 def test_nonuniform_perm_crossfade_matches_xla(rng, force_dftmm):
@@ -440,7 +460,7 @@ def test_fused_head_rejects_perm_layout(force_dftmm):
         fused_head_pallas(x, carry, prev, H, B, interpret=True)
 
 
-def test_perm_fft_pallas_pads_odd_row_counts(rng):
+def test_perm_fft_pallas_pads_odd_row_counts(rng, monkeypatch):
     """Direct API calls with row counts not divisible by the tile size are
     padded (not collapsed into one whole-batch VMEM tile) and match the
     XLA formulation exactly."""
@@ -449,6 +469,9 @@ def test_perm_fft_pallas_pads_odd_row_counts(rng):
         perm_rfft_half_pallas,
     )
 
+    # pin the radix: the kernel derives r from the data shape, but the
+    # XLA reference path follows the env default (32 at this n)
+    monkeypatch.setenv("BBCAT_DSP_PERM_RADIX", "8")
     n, r = 4096, 8
     n1 = n // r
     rows = 12  # not a multiple of 8
