@@ -67,6 +67,14 @@ def _kara() -> bool:
     return v == "karatsuba"
 
 
+def _alt_sign(shape, dtype):
+    """``(-1)^j`` along the last axis — the exact Nyquist-bin DFT weights
+    (column n1/2 of the stage matrix), kept off the MXU so the dots stay
+    exactly 128-lane-aligned."""
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return jnp.where(j % 2 == 0, 1.0, -1.0).astype(dtype)
+
+
 def _fwd_kernel(n: int, r: int, prec, kara: bool, x_ref, twr_ref, twi_ref,
                 *rest):
     from ...convolve.fft import _radix_fft
@@ -92,6 +100,7 @@ def _fwd_kernel(n: int, r: int, prec, kara: bool, x_ref, twr_ref, twi_ref,
         tis.append(yr * twi + yi * twr)
     # one big-M matmul pair for all k2 rows (C1 shared): [r*rt, n1]
     rt = x_ref.shape[0]
+    n1 = x_ref.shape[-1]
     tr = jnp.concatenate(trs, axis=0)
     ti = jnp.concatenate(tis, axis=0)
     if prec == jax.lax.Precision.HIGHEST:
@@ -102,7 +111,11 @@ def _fwd_kernel(n: int, r: int, prec, kara: bool, x_ref, twr_ref, twi_ref,
         zi = _dot(tr, c1i, prec) + _dot(ti, c1r, prec)
     elif kara:
         # HIGH + Karatsuba: 3 pre-split constant pairs (Cr, Ci, Cr+Ci),
-        # 3 stage dots (9 MXU passes instead of 12)
+        # 3 stage dots (9 MXU passes instead of 12).  The Nyquist column
+        # (k1 = n1/2, where C1[j] = (-1)^j exactly) is NOT in the dots:
+        # the constants arrive sliced to n1/2 columns so every MXU tile is
+        # exactly 128-aligned (n1/2+1 wastes a whole second lane tile),
+        # and the Nyquist bin is an exact-f32 VPU sign-sum instead
         (c1rh_ref, c1rl_ref, c1ih_ref, c1il_ref,
          c1sh_ref, c1sl_ref) = rest[:-1]
         trh, trl = _split(tr)
@@ -111,14 +124,18 @@ def _fwd_kernel(n: int, r: int, prec, kara: bool, x_ref, twr_ref, twi_ref,
         t1 = _dot_split(trh, trl, c1rh_ref[...], c1rl_ref[...])
         t2 = _dot_split(tih, til, c1ih_ref[...], c1il_ref[...])
         t3 = _dot_split(tsh, tsl, c1sh_ref[...], c1sl_ref[...])
-        zr = t1 - t2
-        zi = t3 - t1 - t2
+        sgn = _alt_sign((1, n1), tr.dtype)
+        zr = jnp.concatenate(
+            [t1 - t2, jnp.sum(tr * sgn, -1, keepdims=True)], axis=-1)
+        zi = jnp.concatenate(
+            [t3 - t1 - t2, jnp.sum(ti * sgn, -1, keepdims=True)], axis=-1)
     else:
         # HIGH: the stage-matrix pair arrives PRE-SPLIT (bf16 hi/lo) so
         # the kernel holds 4.2 MB of constants total instead of the f32
         # pair PLUS one hi/lo re-split per dot (4 dots -> 20.9 MB measured
         # scoped-vmem on v5e, past the 16 MB limit); tr/ti split ONCE and
-        # reused across their two dots each
+        # reused across their two dots each.  Nyquist column on the VPU
+        # (see the Karatsuba branch)
         c1rh_ref, c1rl_ref, c1ih_ref, c1il_ref = rest[:-1]
         c1rh = c1rh_ref[...]
         c1rl = c1rl_ref[...]
@@ -130,6 +147,11 @@ def _fwd_kernel(n: int, r: int, prec, kara: bool, x_ref, twr_ref, twi_ref,
               - _dot_split(tih, til, c1ih, c1il))
         zi = (_dot_split(trh, trl, c1ih, c1il)
               + _dot_split(tih, til, c1rh, c1rl))
+        sgn = _alt_sign((1, n1), tr.dtype)
+        zr = jnp.concatenate(
+            [zr, jnp.sum(tr * sgn, -1, keepdims=True)], axis=-1)
+        zi = jnp.concatenate(
+            [zi, jnp.sum(ti * sgn, -1, keepdims=True)], axis=-1)
     for k2 in range(r):
         o_ref[0, :, k2] = zr[k2 * rt:(k2 + 1) * rt]
         o_ref[1, :, k2] = zi[k2 * rt:(k2 + 1) * rt]
@@ -172,11 +194,18 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
     if prec == jax.lax.Precision.HIGHEST:
         consts = (c1r, c1i)
         kara = False
-    elif kara:
-        consts = _split(c1r) + _split(c1i) + _split(c1r + c1i)
+        ncols = n1h1
     else:
-        consts = _split(c1r) + _split(c1i)
-    cspec = pl.BlockSpec((n1, n1h1), lambda g: (0, 0),
+        # HIGH paths: Nyquist column on the VPU, so the dot constants
+        # carry exactly n1/2 columns (one fewer lane tile per operand)
+        c1r = c1r[:, : n1h1 - 1]
+        c1i = c1i[:, : n1h1 - 1]
+        ncols = n1h1 - 1
+        if kara:
+            consts = _split(c1r) + _split(c1i) + _split(c1r + c1i)
+        else:
+            consts = _split(c1r) + _split(c1i)
+    cspec = pl.BlockSpec((n1, ncols), lambda g: (0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_fwd_kernel, n, r, prec, kara),
@@ -220,32 +249,45 @@ def _inv_kernel(n: int, r: int, prec, kara: bool, s_ref, wr_ref, wi_ref,
         e1i = e1i_ref[...]
         gr = _dot(xr, e1r, prec) - _dot(xi, e1i, prec)
         gi = _dot(xr, e1i, prec) + _dot(xi, e1r, prec)
-    elif kara:
-        # HIGH + Karatsuba (see the forward kernel)
-        (e1rh_ref, e1rl_ref, e1ih_ref, e1il_ref,
-         e1sh_ref, e1sl_ref) = rest[:-1]
-        xrh, xrl = _split(xr)
-        xih, xil = _split(xi)
-        xsh, xsl = _split(xr + xi)
-        t1 = _dot_split(xrh, xrl, e1rh_ref[...], e1rl_ref[...])
-        t2 = _dot_split(xih, xil, e1ih_ref[...], e1il_ref[...])
-        t3 = _dot_split(xsh, xsl, e1sh_ref[...], e1sl_ref[...])
-        gr = t1 - t2
-        gi = t3 - t1 - t2
     else:
-        # HIGH with pre-split constants + one-time xr/xi splits (see the
-        # forward kernel's VMEM note)
-        e1rh_ref, e1rl_ref, e1ih_ref, e1il_ref = rest[:-1]
-        e1rh = e1rh_ref[...]
-        e1rl = e1rl_ref[...]
-        e1ih = e1ih_ref[...]
-        e1il = e1il_ref[...]
-        xrh, xrl = _split(xr)
-        xih, xil = _split(xi)
-        gr = (_dot_split(xrh, xrl, e1rh, e1rl)
-              - _dot_split(xih, xil, e1ih, e1il))
-        gi = (_dot_split(xrh, xrl, e1ih, e1il)
-              + _dot_split(xih, xil, e1rh, e1rl))
+        # HIGH paths contract over exactly n1/2 bins on the MXU (the
+        # constants arrive with the Nyquist ROW dropped, so the contract
+        # dim is 128-aligned instead of wasting a whole K tile on bin
+        # n1/2); the Nyquist row of E1 is cos(pi t1) = (-1)^t1, sin = 0,
+        # so its rank-1 contribution is an exact-f32 sign-broadcast add
+        n1 = o_ref.shape[-1]
+        nh = xr.shape[-1] - 1
+        sgn = _alt_sign((1, n1), xr.dtype)
+        g_nr = xr[:, nh:] * sgn
+        g_ni = xi[:, nh:] * sgn
+        xr = xr[:, :nh]
+        xi = xi[:, :nh]
+        if kara:
+            # HIGH + Karatsuba (see the forward kernel)
+            (e1rh_ref, e1rl_ref, e1ih_ref, e1il_ref,
+             e1sh_ref, e1sl_ref) = rest[:-1]
+            xrh, xrl = _split(xr)
+            xih, xil = _split(xi)
+            xsh, xsl = _split(xr + xi)
+            t1 = _dot_split(xrh, xrl, e1rh_ref[...], e1rl_ref[...])
+            t2 = _dot_split(xih, xil, e1ih_ref[...], e1il_ref[...])
+            t3 = _dot_split(xsh, xsl, e1sh_ref[...], e1sl_ref[...])
+            gr = t1 - t2 + g_nr
+            gi = t3 - t1 - t2 + g_ni
+        else:
+            # HIGH with pre-split constants + one-time xr/xi splits (see
+            # the forward kernel's VMEM note)
+            e1rh_ref, e1rl_ref, e1ih_ref, e1il_ref = rest[:-1]
+            e1rh = e1rh_ref[...]
+            e1rl = e1rl_ref[...]
+            e1ih = e1ih_ref[...]
+            e1il = e1il_ref[...]
+            xrh, xrl = _split(xr)
+            xih, xil = _split(xi)
+            gr = (_dot_split(xrh, xrl, e1rh, e1rl)
+                  - _dot_split(xih, xil, e1ih, e1il) + g_nr)
+            gi = (_dot_split(xrh, xrl, e1ih, e1il)
+                  + _dot_split(xih, xil, e1rh, e1rl) + g_ni)
     bs = []
     for k2 in range(r):
         g_r = gr[k2 * rt:(k2 + 1) * rt]
@@ -289,15 +331,22 @@ def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
     if prec == jax.lax.Precision.HIGHEST:
         econsts = (e1r, e1i)
         kara = False
-    elif kara:
-        econsts = _split(e1r) + _split(e1i) + _split(e1r + e1i)
+        krows = n1h1
     else:
-        econsts = _split(e1r) + _split(e1i)
+        # HIGH paths: Nyquist ROW handled as a rank-1 VPU term in the
+        # kernel, so the dot constants contract over exactly n1/2 bins
+        e1r = e1r[: n1h1 - 1]
+        e1i = e1i[: n1h1 - 1]
+        krows = n1h1 - 1
+        if kara:
+            econsts = _split(e1r) + _split(e1i) + _split(e1r + e1i)
+        else:
+            econsts = _split(e1r) + _split(e1i)
     consts = pl.BlockSpec((r, n1), lambda g: (0, 0),
                           memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((r, n1h1), lambda g: (0, 0),
                          memory_space=pltpu.VMEM)
-    espec = pl.BlockSpec((n1h1, n1), lambda g: (0, 0),
+    espec = pl.BlockSpec((krows, n1), lambda g: (0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_inv_kernel, n, r, prec, kara),
