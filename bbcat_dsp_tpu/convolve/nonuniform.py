@@ -416,7 +416,7 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
             raise ValueError
         dev = next(iter(devs))
         key = (
-            jax.tree.util.tree_structure(args),
+            jax.tree.structure(args),
             tuple((a.shape, str(a.dtype)) for a in jax.tree.leaves(args)),
             block, tail_slot0, dev.id,
         )
@@ -436,7 +436,20 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
                 out_shardings=jax.tree.map(fmt, (state, x)),
             )
             _PINNED[key] = fn
-    except Exception:  # pragma: no cover - fallback keeps semantics
+    except ValueError:  # off-TPU / sharded: pinning does not apply
+        return nonuniform_render(state, H_head, H_tail, x, block,
+                                 tail_slot0=tail_slot0)
+    except Exception as e:  # pragma: no cover - fallback keeps semantics
+        # UNEXPECTED failure building the pinned program.  Warn instead of
+        # silently degrading: a bad tree-util call hid here for a whole
+        # round, costing 3 full-queue relayout copies per render (~8% RT
+        # at config #5) while every measurement quietly used the fallback.
+        import warnings
+
+        warnings.warn(
+            "layout-pinned render unavailable (%s: %s); falling back to "
+            "auto layouts — expect full-state relayout copies per render"
+            % (type(e).__name__, e), RuntimeWarning, stacklevel=2)
         return nonuniform_render(state, H_head, H_tail, x, block,
                                  tail_slot0=tail_slot0)
     return fn(state, H_head, H_tail, x)

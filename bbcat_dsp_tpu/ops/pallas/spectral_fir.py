@@ -232,6 +232,11 @@ def windowed_grouped_mac_pallas(
             jax.ShapeDtypeStruct((2, P, C, F), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((2, P, ct, ft), jnp.float32)],
+        # the queue is rewritten IN PLACE: q2 depends only on the xw
+        # scratch (never on q_ref) and each grid step owns its own (c, f)
+        # tile, so aliasing is race-free — and the render-level donation
+        # no longer needs a full-queue protect copy (~1.4 ms at config #5)
+        input_output_aliases={0: 1},
         interpret=interpret,
     )(queue, xt, prev, H)
 
