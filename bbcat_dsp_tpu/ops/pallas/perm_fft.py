@@ -157,10 +157,14 @@ def _fwd_kernel(n: int, r: int, prec, kara: bool, x_ref, twr_ref, twi_ref,
         o_ref[1, :, k2] = zi[k2 * rt:(k2 + 1) * rt]
 
 
-@partial(jax.jit, static_argnames=("n", "rt", "interpret"))
+@partial(jax.jit, static_argnames=("n", "rt", "interpret", "kara"))
 def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
-                          interpret: bool = False) -> jax.Array:
-    """``x3 [rows, r//2, n1]`` -> permuted spectra ``[2, rows, r, n1h1]``."""
+                          interpret: bool = False,
+                          kara: bool | None = None) -> jax.Array:
+    """``x3 [rows, r//2, n1]`` -> permuted spectra ``[2, rows, r, n1h1]``.
+
+    ``kara`` fixes the in-kernel stage-dot formulation (engines pass it
+    from their frozen SpectralSpec); ``None`` reads the env toggle."""
     from ...convolve import fft as _fft
 
     rows, rh, n1 = x3.shape
@@ -188,9 +192,10 @@ def perm_rfft_half_pallas(x3: jax.Array, n: int, rt: int | None = None,
         pad = -rows % rt
         out = perm_rfft_half_pallas(
             jnp.pad(x3, ((0, pad), (0, 0), (0, 0))), n, rt=rt,
-            interpret=interpret)
+            interpret=interpret, kara=kara)
         return out[:, :rows]
-    kara = _kara()
+    if kara is None:
+        kara = _kara()
     if prec == jax.lax.Precision.HIGHEST:
         consts = (c1r, c1i)
         kara = False
@@ -301,10 +306,13 @@ def _inv_kernel(n: int, r: int, prec, kara: bool, s_ref, wr_ref, wi_ref,
         o_ref[:, t2] = Yt[r // 2 + t2][0] * inv_n
 
 
-@partial(jax.jit, static_argnames=("n", "rt", "interpret"))
+@partial(jax.jit, static_argnames=("n", "rt", "interpret", "kara"))
 def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
-                           interpret: bool = False) -> jax.Array:
-    """``spec [2, rows, r, n1h1]`` -> tail samples ``[rows, r//2, n1]``."""
+                           interpret: bool = False,
+                           kara: bool | None = None) -> jax.Array:
+    """``spec [2, rows, r, n1h1]`` -> tail samples ``[rows, r//2, n1]``.
+
+    ``kara`` as in :func:`perm_rfft_half_pallas`."""
     from ...convolve import fft as _fft
 
     _, rows, r, n1h1 = spec.shape
@@ -325,9 +333,10 @@ def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
         pad = -rows % rt
         out = perm_irfft_tail_pallas(
             jnp.pad(spec, ((0, 0), (0, pad), (0, 0), (0, 0))), n, rt=rt,
-            interpret=interpret)
+            interpret=interpret, kara=kara)
         return out[:rows]
-    kara = _kara()
+    if kara is None:
+        kara = _kara()
     if prec == jax.lax.Precision.HIGHEST:
         econsts = (e1r, e1i)
         kara = False

@@ -7,9 +7,13 @@ Policy (BBCAT_DSP_PALLAS_MAC):
       fused slice-multiply-add chain degrades with the partition count
       (measured v5e, F=4097: P=14/C=1024 7.7x slower, P=14/C=128 5.7x,
       P=64/C=64/F=513 8.5x; only the few-partition tail P=6 broke even),
-      while the Pallas kernels read queue+H exactly once per call.
   "1" - always use Pallas kernels.
   "0" - never (pure XLA formulation).
+
+Every hook takes an optional explicit ``mode`` (and the perm-FFT pair a
+full ``SpectralSpec``): engines pass their CONSTRUCTION-time frozen values
+so a later env change cannot alter a built engine's program; ``None``
+falls back to the env read (trace-time) for direct functional callers.
 """
 
 from __future__ import annotations
@@ -39,9 +43,10 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def maybe_pallas_mac(xext, H, ratio):
+def maybe_pallas_mac(xext, H, ratio, mode: str | None = None):
     """Head MAC hook: ``None`` -> caller runs the XLA formulation."""
-    mode = _mode()
+    if mode is None:
+        mode = _mode()
     if mode == "0":
         return None
     _, P, C, F = H.shape
@@ -56,17 +61,22 @@ def maybe_pallas_mac(xext, H, ratio):
     return head_mac_pallas(xext, H, ratio, interpret=_interpret())
 
 
-def maybe_fused_head(x, xcarry, prev, H, block: int):
+def maybe_fused_head(x, xcarry, prev, H, block: int,
+                     mode: str | None = None, layout: str | None = None):
     """Fused rFFT->MAC->irfft head super-kernel hook: ``None`` -> caller
     runs the unfused composition.  Gated separately
     (BBCAT_DSP_PALLAS_FUSED_HEAD=0/1/auto) so the super-kernel can be
-    A/B'd against the unfused XLA pipeline independently of the MACs."""
-    mode = os.environ.get("BBCAT_DSP_PALLAS_FUSED_HEAD", _mode())
+    A/B'd against the unfused XLA pipeline independently of the MACs.
+    ``layout`` is the head engine's frozen spectral layout when known."""
+    if mode is None:
+        mode = os.environ.get("BBCAT_DSP_PALLAS_FUSED_HEAD", _mode())
     if mode == "0":
         return None
-    from .convolve.fft import half_engine_layout
+    if layout is None:
+        from .convolve.fft import half_engine_layout
 
-    if half_engine_layout(2 * block) != "std":
+        layout = half_engine_layout(2 * block)
+    if layout != "std":
         return None  # the kernel's in-VMEM DFT assumes natural bin order
     _, P, C, F = H.shape
     if mode != "1" and (P * C * F < _HEAD_MIN_ELEMS
@@ -79,13 +89,15 @@ def maybe_fused_head(x, xcarry, prev, H, block: int):
 
 
 def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int,
-                               sign_section: int = 1):
+                               sign_section: int = 1,
+                               mode: str | None = None):
     """Window assembly + whole-group tail MAC + rolled queue writeback in
     one kernel (render path with a host-known cursor): ``None`` -> caller
     runs the XLA window-assembly + roll/concat/slide formulation.
     ``sign_section`` is the shift-sign section of the caller's spectral
     layout (``fft.half_sign_section``)."""
-    mode = _mode()
+    if mode is None:
+        mode = _mode()
     if mode == "0":
         return None
     _, P, C, F = H.shape
@@ -100,15 +112,16 @@ def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int,
                                        interpret=_interpret())
 
 
-def _permfft_mode() -> str | None:
+def _permfft_mode(spec=None) -> str | None:
     """BBCAT_DSP_PALLAS_PERMFFT gate, shared by both directions:
     "auto" (default) runs the fused kernels on TPU — the v5e A/B at
     config #5 measured perm+kernels 26.9-32.8x RT vs 23.5x std / 21.4x
     XLA-perm, radix-dependent — and declines off-TPU (the interpreter
     is orders of magnitude slower than the XLA formulation); "1" forces
     (interpreted off-TPU, how the CPU tests exercise kernel parity);
-    "0" disables."""
-    mode = os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "auto")
+    "0" disables.  A frozen ``spec`` supplies the mode instead of env."""
+    mode = (spec.permfft if spec is not None
+            else os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "auto"))
     if mode == "0":
         return None
     if mode != "1" and _interpret():
@@ -116,10 +129,10 @@ def _permfft_mode() -> str | None:
     return mode
 
 
-def maybe_perm_rfft_half(x, n: int):
+def maybe_perm_rfft_half(x, n: int, spec=None):
     """Fused permuted-layout half-window forward transform (``None`` ->
     the XLA formulation in fft._perm_rfft_half runs)."""
-    if _permfft_mode() is None:
+    if _permfft_mode(spec) is None:
         return None
     lead = x.shape[:-1]
     m = n // 2
@@ -129,40 +142,46 @@ def maybe_perm_rfft_half(x, n: int):
     from .convolve.fft import _perm_radix
     from .ops.pallas.perm_fft import MAX_KERNEL_N1, perm_rfft_half_pallas
 
-    r = _perm_radix(n)
+    r = spec.radix if spec is not None else _perm_radix(n)
     if (not r or n // r > MAX_KERNEL_N1 or x.shape[-1] != m
             or rows < 8 or rows % 8):
         return None
     n1 = n // r
     out = perm_rfft_half_pallas(
-        x.reshape(rows, r // 2, n1), n, interpret=_interpret())
+        x.reshape(rows, r // 2, n1), n, interpret=_interpret(),
+        kara=(spec.kernel_cmatmul == "karatsuba") if spec is not None
+        else None)
     return out.reshape((2,) + tuple(lead) + (r * (n1 // 2 + 1),))
 
 
-def maybe_perm_irfft_tail(spec, n: int):
+def maybe_perm_irfft_tail(spec_planes, n: int, spec=None):
     """Fused permuted-layout tail inverse (``None`` -> XLA path)."""
-    if _permfft_mode() is None:
+    if _permfft_mode(spec) is None:
         return None
-    lead = spec.shape[1:-1]
+    lead = spec_planes.shape[1:-1]
     rows = 1
     for d in lead:
         rows *= int(d)
     from .convolve.fft import _perm_radix
     from .ops.pallas.perm_fft import MAX_KERNEL_N1, perm_irfft_tail_pallas
 
-    r = _perm_radix(n)
+    r = spec.radix if spec is not None else _perm_radix(n)
     if not r or n // r > MAX_KERNEL_N1 or rows < 8 or rows % 8:
         return None
     n1 = n // r
     out = perm_irfft_tail_pallas(
-        spec.reshape(2, rows, r, n1 // 2 + 1), n, interpret=_interpret())
+        spec_planes.reshape(2, rows, r, n1 // 2 + 1), n,
+        interpret=_interpret(),
+        kara=(spec.kernel_cmatmul == "karatsuba") if spec is not None
+        else None)
     return out.reshape(tuple(lead) + (n // 2,))
 
 
-def maybe_rotated_mac(queue, H, slot: int):
+def maybe_rotated_mac(queue, H, slot: int, mode: str | None = None):
     """Static-cursor overlap-save MAC hook (uniform/tail engines):
     ``None`` -> caller runs the XLA static-slice formulation."""
-    mode = _mode()
+    if mode is None:
+        mode = _mode()
     if mode == "0":
         return None
     _, P, C, F = H.shape

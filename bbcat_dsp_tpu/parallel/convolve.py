@@ -32,7 +32,11 @@ from ..convolve.block import (
     convolver_render,
     convolver_step,
 )
-from ..convolve.fft import half_window_signs, rfft_half_planes
+from ..convolve.fft import (
+    SpectralSpec,
+    half_window_signs,
+    rfft_half_planes,
+)
 
 __all__ = [
     "channel_sharded_step",
@@ -42,12 +46,17 @@ __all__ = [
 ]
 
 
-def channel_sharded_step(mesh: Mesh, axis_name: str = "ch"):
+def channel_sharded_step(mesh: Mesh, axis_name: str = "ch",
+                         spec: SpectralSpec | None = None):
     """Build a jitted ``(state, H, x) -> (state, y)`` with every operand's
     channel axis sharded over ``mesh``.
 
     State layout (SURVEY.md §5): queue ``[2, P, C, F]`` (C sharded), prev
     ``[C, B]``, step replicated; ``H [2, P, C, F]``; ``x [C, B]``.
+
+    ``spec`` is the engine's frozen :class:`SpectralSpec` (layout/radix/
+    kernel gates resolved at construction — pass the owning convolver's,
+    so the sharded program matches its state layout exactly).
     """
     state_spec = ConvolverState(
         queue=P(None, None, axis_name, None),
@@ -65,12 +74,13 @@ def channel_sharded_step(mesh: Mesh, axis_name: str = "ch"):
         check_vma=False,
     )
     def _step(state, H, x):
-        return convolver_step(state, H, x)
+        return convolver_step(state, H, x, spec=spec)
 
     return jax.jit(_step, donate_argnums=(0,))
 
 
-def channel_sharded_render(mesh: Mesh, block: int, axis_name: str = "ch"):
+def channel_sharded_render(mesh: Mesh, block: int, axis_name: str = "ch",
+                           spec: SpectralSpec | None = None):
     """Like :func:`channel_sharded_step` but renders a whole ``[C, T]``
     signal via the on-device block scan (the pod-scale bench path)."""
     state_spec = ConvolverState(
@@ -89,14 +99,15 @@ def channel_sharded_render(mesh: Mesh, block: int, axis_name: str = "ch"):
         check_vma=False,
     )
     def _render(state, H, x):
-        return convolver_render(state, H, x, block)
+        return convolver_render(state, H, x, block, spec=spec)
 
     return jax.jit(_render, donate_argnums=(0,))
 
 
 def channel_sharded_nonuniform_render(mesh: Mesh, block: int,
                                       axis_name: str = "ch",
-                                      tail_slot0: int | None = None):
+                                      tail_slot0: int | None = None,
+                                      specs: tuple | None = None):
     """Channel-sharded render for the NON-UNIFORM (two-level) engine — the
     pod config's flagship path (BASELINE.json config #5: 1024 ch shard to
     N hosts with zero cross-device communication).
@@ -106,6 +117,12 @@ def channel_sharded_nonuniform_render(mesh: Mesh, block: int,
     :func:`bbcat_dsp_tpu.convolve.nonuniform._render_impl` (Pallas group
     kernels engage per shard where their gates allow).  Returns a jitted
     ``(state, H_head, H_tail, x) -> (state, y)``.
+
+    ``specs`` is the engine's frozen (head, tail) SpectralSpec pair
+    (``NonUniformConvolver.specs``) — REQUIRED whenever the engine resolved
+    a non-default configuration (e.g. the TPU pod default: dftmm backend,
+    permuted tail layout, Pallas kernels), so the sharded program agrees
+    with the engine's state/IR layout.
     """
     from ..convolve.nonuniform import NonUniformState, _render_impl
 
@@ -130,13 +147,15 @@ def channel_sharded_nonuniform_render(mesh: Mesh, block: int,
         check_vma=False,
     )
     def _render(state, H_head, H_tail, x):
-        return _render_impl(state, H_head, H_tail, x, block, tail_slot0)
+        return _render_impl(state, H_head, H_tail, x, block, tail_slot0,
+                            specs)
 
     return jax.jit(_render, donate_argnums=(0,))
 
 
 def time_sharded_render(mesh: Mesh, block: int, nparts: int,
-                        axis_name: str = "t", ch_axis: str | None = None):
+                        axis_name: str = "t", ch_axis: str | None = None,
+                        spec: SpectralSpec | None = None):
     """Build a jitted ``(H, x) -> y`` rendering ``x [C, T]`` with the TIME
     axis sharded: each device gets a span of ``T / n_devices`` samples
     (must be a multiple of ``block``), receives its left neighbour's
@@ -183,10 +202,11 @@ def time_sharded_render(mesh: Mesh, block: int, nparts: int,
         # (keeps the spectra in the half-window engine's layout — permuted
         # for large dftmm sizes — so the rebuilt queue matches the
         # streaming engine's state exactly)
-        s = jnp.asarray(half_window_signs(2 * block))
+        s = jnp.asarray(half_window_signs(2 * block, spec=spec))
         spectra = (
-            rfft_half_planes(windows[..., :block], 2 * block)
-            + s * rfft_half_planes(windows[..., block:], 2 * block)
+            rfft_half_planes(windows[..., :block], 2 * block, spec=spec)
+            + s * rfft_half_planes(windows[..., block:], 2 * block,
+                                   spec=spec)
         )  # [2, nparts, C, F]
         # queue slot for the block that is p blocks in the past must hold
         # that block's window spectrum.  Start the local stream at
@@ -196,10 +216,10 @@ def time_sharded_render(mesh: Mesh, block: int, nparts: int,
         queue = spectra  # slot k == window k (derivation above)
         state = ConvolverState(
             queue=queue,
-            prev=rfft_half_planes(halo[:, -block:], 2 * block),
+            prev=rfft_half_planes(halo[:, -block:], 2 * block, spec=spec),
             step=jnp.asarray(nparts, jnp.int32),
         )
-        _, y = convolver_render(state, H, x, block)
+        _, y = convolver_render(state, H, x, block, spec=spec)
         return y
 
     return jax.jit(_render)
