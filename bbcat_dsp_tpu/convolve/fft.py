@@ -465,6 +465,27 @@ def resolve_spectral_spec(
     else:
         lay = "std"
     r = _perm_radix(n) if lay == "perm" else None
+    permfft = os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "auto")
+    if r and permfft == "1":
+        # loud fence at the kernel size ceiling: a FORCED kernel config
+        # that the kernels cannot serve would otherwise silently route to
+        # the XLA formulation (VERDICT r3 next #8).  The auto radix window
+        # (256 <= n1 <= 1024) keeps resolved configs inside the ceiling up
+        # to n = 32768; only an explicit BBCAT_DSP_PERM_RADIX can exceed it.
+        from ..ops.pallas.perm_fft import MAX_KERNEL_N1
+
+        if n // r > MAX_KERNEL_N1:
+            import warnings
+
+            warnings.warn(
+                f"BBCAT_DSP_PALLAS_PERMFFT=1 forced, but n1 = {n // r} "
+                f"(n={n}, radix={r}) exceeds the perm-FFT kernel ceiling "
+                f"MAX_KERNEL_N1={MAX_KERNEL_N1}; the XLA formulation will "
+                "run for this size (see ops/pallas/perm_fft.py for the "
+                "ceiling rationale)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     cm = os.environ.get("BBCAT_DSP_CMATMUL", "classic")
     kcm = os.environ.get("BBCAT_DSP_KERNEL_CMATMUL", cm if
                          "BBCAT_DSP_CMATMUL" in os.environ else "karatsuba")
@@ -476,7 +497,7 @@ def resolve_spectral_spec(
         radix=r,
         cmatmul=cm,
         kernel_cmatmul=kcm,
-        permfft=os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "auto"),
+        permfft=permfft,
         mac=mac,
         fused_head=os.environ.get("BBCAT_DSP_PALLAS_FUSED_HEAD", mac),
     )

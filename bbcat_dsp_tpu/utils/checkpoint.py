@@ -22,10 +22,14 @@ Conversion is exact: the permuted layout's extra bins are conjugate
 mirrors, which are dropped going to std and reconstructed going to perm.
 
 Structural portability: checkpoints written before a state NamedTuple
-gained fields do not restore (leaf-count mismatch fails loudly).  Known
-instance: ``BankState`` gained ``targets_lo``/``origins_lo`` planes in
-round 2 — re-save from a current build, or rebuild the bank state and
-re-apply coefficient targets.
+gained fields generally do not restore (leaf-count mismatch fails loudly).
+One migration IS supported: ``BankState`` gained ``targets_lo``/
+``origins_lo`` residual planes in round 2, and those planes are exactly
+zero for any state the old format could represent (the lo planes carry
+float32 residuals of float64 designs the old format never stored), so
+``load_state(like=...)`` reconstructs old 5-leaf BankState checkpoints by
+zero-filling them.  Other structure changes still fail loudly — re-save
+from a current build.
 """
 
 from __future__ import annotations
@@ -119,21 +123,49 @@ def _try_layout_migration(got: np.ndarray, want: "np.ndarray",
                 return planes(fft.unpermute_half_spectrum(z, n, radix=r))
             except ValueError:
                 continue
-    # std -> perm: source bins determine n; target layout must be perm
+    # std -> perm: source bins determine n; the TARGET radix is inferred
+    # from the target bin count (NOT from the current env resolution — the
+    # target engine may hold a frozen SpectralSpec the env no longer
+    # matches)
     n = 2 * (Fs - 1)
-    if fft.spectral_nbins(n) == Fd and fft.half_engine_layout(n) == "perm":
-        return planes(fft.permute_half_spectrum(z, n))
-    # perm(r_src) -> perm(r_dst)
+    for r_dst in _candidate_radices(None):
+        if _perm_n_from_bins(Fd, r_dst) == n:
+            return planes(fft.permute_half_spectrum(z, n, radix=r_dst))
+    # perm(r_src) -> perm(r_dst): both radices inferred from bin counts
     for r_src in _candidate_radices(meta):
         n = _perm_n_from_bins(Fs, r_src)
-        if (n and fft.half_engine_layout(n) == "perm"
-                and fft.spectral_nbins(n) == Fd):
+        if not n:
+            continue
+        for r_dst in _candidate_radices(None):
+            if r_dst == r_src or _perm_n_from_bins(Fd, r_dst) != n:
+                continue
             try:
                 std = fft.unpermute_half_spectrum(z, n, radix=r_src)
             except ValueError:
                 continue
-            return planes(fft.permute_half_spectrum(std, n))
+            return planes(fft.permute_half_spectrum(std, n, radix=r_dst))
     return None
+
+
+def _try_bankstate_migration(host_leaves: list, like):
+    """Reconstruct a pre-round-2 (5-leaf) BankState from its leaves by
+    zero-filling the ``targets_lo``/``origins_lo`` residual planes — which
+    are exactly zero for any state the old format could represent.
+    Returns the new-format leaf list, or None when the blob/target do not
+    match that known structure change."""
+    try:
+        from ..filters.bank import BankState
+    except Exception:  # pragma: no cover - filters always importable
+        return None
+    if not isinstance(like, BankState) or len(host_leaves) != 5:
+        return None
+    targets, origins, mul, dec, w = host_leaves
+    want = jax.tree.leaves(like)
+    old = [targets, origins, mul, dec, w]
+    if any(np.asarray(g).shape != np.asarray(wnt).shape
+           for g, wnt in zip(old, want[:5])):
+        return None
+    return old + [np.zeros_like(targets), np.zeros_like(origins)]
 
 
 def load_state(path: str, like=None, migrate_layout: bool = True):
@@ -152,12 +184,15 @@ def load_state(path: str, like=None, migrate_layout: bool = True):
     if like is not None:
         ref_leaves, treedef = jax.tree.flatten(like)
         if len(ref_leaves) != len(host_leaves):
-            raise ValueError(
-                f"checkpoint has {len(host_leaves)} leaves, expected "
-                f"{len(ref_leaves)} — the state structure changed since "
-                "this checkpoint was written (see the portability note in "
-                "utils/checkpoint.py)"
-            )
+            migrated = _try_bankstate_migration(host_leaves, like)
+            if migrated is None:
+                raise ValueError(
+                    f"checkpoint has {len(host_leaves)} leaves, expected "
+                    f"{len(ref_leaves)} — the state structure changed since "
+                    "this checkpoint was written (see the portability note "
+                    "in utils/checkpoint.py)"
+                )
+            host_leaves = migrated
         out = []
         for got, want in zip(host_leaves, ref_leaves):
             want_np = np.asarray(want)

@@ -159,3 +159,45 @@ def test_spec_is_hashable_static_arg():
     s = resolve_spectral_spec(4096, backend="dftmm", probe=False)
     assert isinstance(hash(s), int)
     assert s == SpectralSpec(*s)  # plain tuple semantics
+
+
+def test_kernel_ceiling_boundary(monkeypatch, rng):
+    """VERDICT r3 #8: the perm-FFT kernel size ceiling is fenced LOUDLY.
+
+    At the boundary (n1 == MAX_KERNEL_N1) the kernels serve; one step past
+    it (an explicit radix pushing n1 to 2048) a forced-kernel resolution
+    warns, the hooks decline, and the XLA formulation still renders
+    correctly."""
+    import warnings
+
+    from bbcat_dsp_tpu import ops_pallas_hook as hook
+    from bbcat_dsp_tpu.ops.pallas.perm_fft import MAX_KERNEL_N1
+
+    # n = 32768: auto radix 32 -> n1 = 1024 == ceiling (kernels serve);
+    # forced radix 16 -> n1 = 2048 (kernels decline)
+    n = 32 * MAX_KERNEL_N1
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "1")
+
+    s_at = resolve_spectral_spec(n, backend="dftmm", probe=False)
+    assert s_at.layout == "perm" and n // s_at.radix == MAX_KERNEL_N1
+    x = rng.standard_normal((8, 1, n // 2)).astype(np.float32)
+    assert hook.maybe_perm_rfft_half(
+        jnp.asarray(x[:, 0]), n, spec=s_at) is not None
+
+    monkeypatch.setenv("BBCAT_DSP_PERM_RADIX", "16")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        s_past = resolve_spectral_spec(n, backend="dftmm", probe=False)
+    assert s_past.radix == 16 and n // 16 == 2 * MAX_KERNEL_N1
+    assert any("MAX_KERNEL_N1" in str(w.message) for w in rec), (
+        "forced-kernel config past the ceiling resolved silently")
+    # hooks decline; the XLA formulation still produces the right spectra
+    assert hook.maybe_perm_rfft_half(
+        jnp.asarray(x[:, 0]), n, spec=s_past) is None
+    got = np.asarray(fft.rfft_half_planes(
+        jnp.asarray(x[:1, 0]), n, spec=s_past))
+    z = np.fft.rfft(np.concatenate(
+        [x[:1, 0].astype(np.float64),
+         np.zeros((1, n // 2))], axis=-1), axis=-1)
+    want = fft.permute_half_spectrum(z, n, radix=16)
+    assert snr_db(np.stack([want.real, want.imag]), got) > 110.0

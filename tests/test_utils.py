@@ -114,3 +114,70 @@ def test_checkpoint_non_spectral_mismatch_still_fails(tmp_path, rng):
     b = ring_init((2,), 16)
     with pytest.raises(ValueError, match="shape mismatch"):
         load_state(p, like=b)
+
+
+def test_checkpoint_bankstate_zero_fill_migration(tmp_path, rng):
+    """VERDICT r3 #7: a hand-built pre-round-2 BankState checkpoint (5
+    leaves — no targets_lo/origins_lo residual planes) restores via
+    load_state(like=...) with the lo planes zero-filled, and the restored
+    bank continues processing identically to one whose residuals are
+    explicitly zero."""
+    import pickle
+
+    import jax
+
+    from bbcat_dsp_tpu.filters import FilterType, biquad_coeffs
+    from bbcat_dsp_tpu.filters.bank import (
+        BankState,
+        bank_init,
+        bank_process,
+        bank_set_stage,
+    )
+
+    S, C = 2, 4
+    state = bank_init(S, C)
+    state = bank_set_stage(state, 0,
+                           biquad_coeffs(FilterType.LPF12, 2000.0, 48000.0),
+                           interp_samples=64)
+    state = bank_set_stage(state, 1,
+                           biquad_coeffs(FilterType.PEQ, 500.0, 48000.0, 3.0))
+    x = rng.standard_normal((C, 128)).astype(np.float32)
+    state, y0 = bank_process(state, x)
+
+    # hand-build the OLD-format blob: the same state WITHOUT the lo planes
+    # (any state the old format could represent has them exactly zero)
+    state = state._replace(targets_lo=jnp.zeros_like(state.targets_lo),
+                           origins_lo=jnp.zeros_like(state.origins_lo))
+    old_leaves = [np.asarray(a) for a in
+                  (state.targets, state.origins, state.mul, state.dec,
+                   state.w)]
+    p = str(tmp_path / "bank_old.ckpt")
+    with open(p, "wb") as fp:
+        pickle.dump({"treedef": jax.tree.structure(tuple(old_leaves)),
+                     "leaves": old_leaves,
+                     "meta": {"format": 1}}, fp)
+
+    restored = load_state(p, like=bank_init(S, C))
+    assert isinstance(restored, BankState)
+    np.testing.assert_array_equal(np.asarray(restored.targets_lo), 0.0)
+    for got, want in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # continuation identical
+    x2 = rng.standard_normal((C, 128)).astype(np.float32)
+    _, y_ref = bank_process(state, x2)
+    _, y_got = bank_process(restored, x2)
+    np.testing.assert_array_equal(np.asarray(y_ref), np.asarray(y_got))
+
+    # an UNRELATED structure change still fails loudly
+    with open(p, "rb") as fp:
+        blob = pickle.load(fp)
+    blob["leaves"] = blob["leaves"][:4]
+    p2 = str(tmp_path / "bank_bad.ckpt")
+    with open(p2, "wb") as fp:
+        pickle.dump(blob, fp)
+    try:
+        load_state(p2, like=bank_init(S, C))
+        raise AssertionError("4-leaf blob restored silently")
+    except ValueError as e:
+        assert "structure changed" in str(e)
