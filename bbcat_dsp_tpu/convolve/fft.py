@@ -42,9 +42,11 @@ __all__ = [
     "backends",
     "half_engine_layout",
     "half_sign_section",
+    "half_sign_tail",
     "spectral_nbins",
     "permute_half_spectrum",
     "unpermute_half_spectrum",
+    "convert_perm_order",
     "ensure_layout_usable",
     "SpectralSpec",
     "resolve_spectral_spec",
@@ -271,10 +273,20 @@ def _rfft_halfwin_large(x: jax.Array, n: int, prec=None,
 #     stage 2 (VPU):  T = Y * W_n^{n1i k2}           (elementwise twiddle)
 #     stage 3 (MXU):  Z[k2, k1] = sum_{n1i} T[k2, n1i] W_n1^{n1i k1}
 #                     — ONE batched matmul, contraction over the LAST axis
-#   storage: bin k = r*k1 + k2 lives at q = k2*(n1/2+1) + k1, k1 <= n1/2.
-#     Bins with k > n/2 (k1 = n1/2, k2 >= 1) hold the conjugate-mirror
-#     values the DFT naturally produces there; the inverse masks them.
-#   window signs: (-1)^k = (-1)^{k2} — constant per k2 section.
+#   storage (TILE-ALIGNED order, round 4): bin k = r*k1 + k2 lives at
+#       q = k2*(n1/2) + k1          for k1 <  n1/2   (r aligned sections)
+#       q = r*(n1/2)  + k2          for k1 == n1/2   (the Nyquist TAIL)
+#     so every section is exactly n1/2 lanes — a multiple of 128 for all
+#     kernel-eligible sizes — and the whole flat bin axis maps to the TPU
+#     (8,128) tiled layout with no internal padding.  (The previous order
+#     q = k2*(n1/2+1) + k1 made the kernels' [r, n1h1] I/O pad 129 -> 256
+#     lanes per section: the hardware trace attributed 4.3 ms/render-group
+#     of boundary reshapes + ~1 ms of padded HBM traffic to it at the pod
+#     config — docs/PERFORMANCE.md "Config #5 residual attribution".)
+#     Tail bins with k > n/2 (k2 >= 1) hold the conjugate-mirror values
+#     the DFT naturally produces there; the inverse masks them.
+#   window signs: (-1)^k = (-1)^{k2} — constant per k2 section, then
+#     alternating per element over the r-bin Nyquist tail.
 #
 #   inverse tail (y[t], t = t2*n1 + t1, outputs t2 >= r/2 only):
 #     stage A (MXU):  G[k2, t1] = sum_{k1} (w X)[k2, k1] e^{+2pi i k1 t1/n1}
@@ -604,14 +616,29 @@ def _radix_fft(xs: list, sign: float):
 def half_sign_section(n: int, backend: str | None = None,
                       spec: SpectralSpec | None = None) -> int:
     """Section length of the half-window shift signs in the engine's
-    layout: 1 (std, alternating per bin) or ``n1//2 + 1`` (permuted,
-    constant per k2 section).  sign(bin) = (-1)^(bin // section)."""
+    layout: 1 (std, alternating per bin) or ``n1//2`` (permuted, constant
+    per k2 section).  sign(bin) = (-1)^(bin // section) below
+    :func:`half_sign_tail`, then (-1)^(bin - tail) over the Nyquist
+    tail."""
     _check_spec(spec, n)
     layout = spec.layout if spec else half_engine_layout(n, backend)
     if layout == "std":
         return 1
     r = spec.radix if spec else _perm_radix(n)
-    return n // r // 2 + 1
+    return n // r // 2
+
+
+def half_sign_tail(n: int, backend: str | None = None,
+                   spec: SpectralSpec | None = None) -> int:
+    """Flat position where the permuted layout's ALTERNATING Nyquist tail
+    begins (``r * n1/2``); equals the bin count for the standard layout
+    (no tail)."""
+    _check_spec(spec, n)
+    layout = spec.layout if spec else half_engine_layout(n, backend)
+    if layout == "std":
+        return n // 2 + 1
+    r = spec.radix if spec else _perm_radix(n)
+    return r * (n // r // 2)
 
 
 _PERMC: dict[tuple, tuple] = {}
@@ -684,12 +711,21 @@ def _perm_rfft_half(x: jax.Array, n: int, prec=None,
     twi = jnp.asarray(twi)
     tr = yr * twr - yi * twi                                # [.., r, n1]
     ti = yr * twi + yi * twr
+    h = n1 // 2
     cr, ci = _cmats(n1)
-    zr, zi = _cmatmul(tr, ti, jnp.asarray(cr[:, :n1h1]),
-                      jnp.asarray(ci[:, :n1h1]), prec,
-                      mode=spec.cmatmul if spec else None)  # [.., r, n1h1]
-    return jnp.stack([zr.reshape(lead + (r * n1h1,)),
-                      zi.reshape(lead + (r * n1h1,))], axis=0)
+    # tile-aligned order: r sections of exactly n1/2 bins from the dot
+    # (Nyquist column dropped), then the r-bin Nyquist tail via the exact
+    # (-1)^j weights on the VPU
+    zr, zi = _cmatmul(tr, ti, jnp.asarray(cr[:, :h]),
+                      jnp.asarray(ci[:, :h]), prec,
+                      mode=spec.cmatmul if spec else None)  # [.., r, h]
+    sgn = jnp.asarray((1.0 - 2.0 * (np.arange(n1) % 2)).astype(np.float32))
+    nyr = jnp.sum(tr * sgn, axis=-1)                        # [.., r]
+    nyi = jnp.sum(ti * sgn, axis=-1)
+    return jnp.stack([
+        jnp.concatenate([zr.reshape(lead + (r * h,)), nyr], axis=-1),
+        jnp.concatenate([zi.reshape(lead + (r * h,)), nyi], axis=-1),
+    ], axis=0)
 
 
 def _perm_irfft_tail(sp: jax.Array, n: int, prec=None,
@@ -706,8 +742,15 @@ def _perm_irfft_tail(sp: jax.Array, n: int, prec=None,
             return out
     lead = sp.shape[1:-1]
     twr, twi, wr, wi = _perm_consts(n, r)
-    Xr = sp[0].reshape(lead + (r, n1h1)) * jnp.asarray(wr)
-    Xi = sp[1].reshape(lead + (r, n1h1)) * jnp.asarray(wi)
+    h = n1 // 2
+    # tile-aligned order: r sections of n1/2 bins + the r-bin Nyquist tail
+    # -> rebuild the per-section [.., r, n1h1] view for the stage-A matmul
+    main = sp[..., : r * h].reshape((2,) + lead + (r, h))
+    tail = sp[..., r * h:]
+    Xr = jnp.concatenate([main[0], tail[0][..., :, None]], axis=-1)
+    Xi = jnp.concatenate([main[1], tail[1][..., :, None]], axis=-1)
+    Xr = Xr * jnp.asarray(wr)
+    Xi = Xi * jnp.asarray(wi)
     # stage A: conj-DFT matmul over k1 (E1 = cos + i sin of the n1 matrix)
     cr, ci = _cmats(n1)
     e1r = jnp.asarray(cr[:n1h1])          # [n1h1, n1]
@@ -730,24 +773,41 @@ def _perm_irfft_tail(sp: jax.Array, n: int, prec=None,
     return y.reshape(lead + (n // 2,)) / n
 
 
+def _perm_bin_of_position(n: int, r: int, order: int = 2) -> np.ndarray:
+    """Natural bin index ``k`` stored at each flat permuted position."""
+    n1 = n // r
+    h = n1 // 2
+    F = r * (h + 1)
+    q = np.arange(F)
+    if order == 2:
+        tail = q >= r * h
+        k2 = np.where(tail, q - r * h, q // h)
+        k1 = np.where(tail, h, q % h)
+    elif order == 1:  # legacy round-3 order: q = k2*(h+1) + k1
+        k2 = q // (h + 1)
+        k1 = q % (h + 1)
+    else:
+        raise ValueError(f"unknown perm order {order}")
+    return r * k1 + k2
+
+
 def permute_half_spectrum(spec: np.ndarray, n: int,
-                          radix: int | None = None) -> np.ndarray:
+                          radix: int | None = None,
+                          order: int = 2) -> np.ndarray:
     """Host-side: standard complex half spectrum ``[.., n//2+1]`` ->
     permuted-layout complex array ``[.., spectral_nbins]`` (conjugate-mirror
     values on the k > n/2 bins, matching what the forward DFT produces
-    there).  ``radix`` overrides the env-resolved layout radix."""
+    there).  ``radix`` overrides the env-resolved layout radix; ``order=1``
+    emits the legacy round-3 bin order (checkpoint conversion only)."""
     r = radix if radix is not None else _perm_radix(n)
-    n1 = n // r
-    n1h1 = n1 // 2 + 1
-    k = r * np.arange(n1h1)[None, :] + np.arange(r)[:, None]  # [r, n1h1]
+    k = _perm_bin_of_position(n, r, order)
     base = np.minimum(k, n - k)
     vals = spec[..., base]
-    out = np.where(k <= n // 2, vals, np.conj(vals))
-    return out.reshape(spec.shape[:-1] + (r * n1h1,))
+    return np.where(k <= n // 2, vals, np.conj(vals))
 
 
 def unpermute_half_spectrum(
-    spec: np.ndarray, n: int, radix: int | None = None
+    spec: np.ndarray, n: int, radix: int | None = None, order: int = 2
 ) -> np.ndarray:
     """Host-side inverse of :func:`permute_half_spectrum`: permuted-layout
     complex array ``[.., r*(n1//2+1)]`` -> standard half spectrum
@@ -755,21 +815,38 @@ def unpermute_half_spectrum(
     the permuted layout carries are redundant and simply dropped.
 
     ``radix`` overrides the layout radix (needed when converting a
-    checkpoint written under a different ``BBCAT_DSP_PERM_RADIX``)."""
+    checkpoint written under a different ``BBCAT_DSP_PERM_RADIX``);
+    ``order=1`` reads the legacy round-3 bin order."""
     r = radix if radix is not None else _perm_radix(n)
     if r is None:
         raise ValueError(f"no permuted layout applies at n={n}")
-    n1h1 = n // r // 2 + 1
-    if spec.shape[-1] != r * n1h1:
+    n1 = n // r
+    h = n1 // 2
+    if spec.shape[-1] != r * (h + 1):
         raise ValueError(
-            f"expected {r * n1h1} permuted bins (n={n}, radix={r}), "
+            f"expected {r * (h + 1)} permuted bins (n={n}, radix={r}), "
             f"got {spec.shape[-1]}"
         )
     k = np.arange(n // 2 + 1)
-    # bin k = r*k1 + k2 lives at position k2*n1h1 + k1 (k1 = k//r < n1h1
-    # holds for every k <= n/2, so no mirror/conjugate cases arise)
-    pos = (k % r) * n1h1 + k // r
+    k1 = k // r
+    k2 = k % r
+    if order == 2:
+        pos = np.where(k1 < h, k2 * h + k1, r * h + k2)
+    elif order == 1:
+        pos = k2 * (h + 1) + k1
+    else:
+        raise ValueError(f"unknown perm order {order}")
     return spec[..., pos]
+
+
+def convert_perm_order(spec: np.ndarray, n: int, radix: int,
+                       from_order: int, to_order: int) -> np.ndarray:
+    """Host-side reorder of a permuted-layout complex array between bin
+    orders (legacy 1 <-> tile-aligned 2) at fixed (n, radix)."""
+    if from_order == to_order:
+        return spec
+    std = unpermute_half_spectrum(spec, n, radix=radix, order=from_order)
+    return permute_half_spectrum(std, n, radix=radix, order=to_order)
 
 
 _PACKW: dict[int, tuple] = {}
@@ -969,9 +1046,9 @@ def half_window_signs(n: int, backend: str | None = None,
     layout = spec.layout if spec else half_engine_layout(n, backend)
     if layout == "perm":
         r = spec.radix if spec else _perm_radix(n)
-        n1h1 = n // r // 2 + 1
-        return np.repeat(
-            (1.0 - 2.0 * (np.arange(r) % 2)).astype(np.float32), n1h1)
+        h = n // r // 2
+        k2_signs = (1.0 - 2.0 * (np.arange(r) % 2)).astype(np.float32)
+        return np.concatenate([np.repeat(k2_signs, h), k2_signs])
     s = np.ones(n // 2 + 1, np.float32)
     s[1::2] = -1.0
     return s

@@ -297,11 +297,12 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
     acc = None
     if tail_slot0 is not None:
         from ..ops_pallas_hook import maybe_windowed_grouped_mac
-        from .fft import half_sign_section
+        from .fft import half_sign_section, half_sign_tail
 
         grouped = maybe_windowed_grouped_mac(
             state.tail.queue, xt, state.tail.prev, H_tail, tail_slot0,
             sign_section=half_sign_section(2 * B2, spec=st),
+            sign_tail=half_sign_tail(2 * B2, spec=st),
             mode=st.mac if st else None)
         if grouped is not None:
             acc, new_queue = grouped

@@ -122,7 +122,7 @@ def rotated_mac_pallas(
     )(queue, H)
 
 
-def _wgrouped_kernel(nparts: int, slot0: int, sec: int, ft: int,
+def _wgrouped_kernel(nparts: int, slot0: int, sec: int, tail: int, ft: int,
                      q_ref, xt_ref, pv_ref, h_ref,
                      o_ref, q2_ref, xw_ref):
     P = nparts
@@ -130,11 +130,14 @@ def _wgrouped_kernel(nparts: int, slot0: int, sec: int, ft: int,
     # Xw[j] = xt[j-1] + s[k] xt[j], with xt[-1] = prev.  The shift-theorem
     # sign is (-1)^k in the STANDARD bin order (sec == 1) and constant per
     # k2 section of length ``sec`` in the permuted layout — both are
-    # (-1)^(bin // sec) over the GLOBAL bin index (tile start f0 = i*ft).
+    # (-1)^(bin // sec) over the GLOBAL bin index (tile start f0 = i*ft) —
+    # except over the permuted layout's Nyquist TAIL (bins >= ``tail``),
+    # where the sign alternates per element: (-1)^(bin - tail).
     shp = xt_ref.shape[-2:]
     f0 = pl.program_id(1) * ft
     gbin = f0 + jax.lax.broadcasted_iota(jnp.int32, shp, 1)
-    s = (1 - 2 * ((gbin // sec) % 2)).astype(xt_ref.dtype)
+    exp = jnp.where(gbin < tail, gbin // sec, gbin - tail)
+    s = (1 - 2 * (exp % 2)).astype(xt_ref.dtype)
     for j in range(P):
         if j == 0:
             pr, pi = pv_ref[0], pv_ref[1]
@@ -170,7 +173,8 @@ def _wgrouped_kernel(nparts: int, slot0: int, sec: int, ft: int,
 
 
 @partial(jax.jit,
-         static_argnames=("slot0", "sign_section", "ct", "ft", "interpret"))
+         static_argnames=("slot0", "sign_section", "sign_tail", "ct", "ft",
+                          "interpret"))
 def windowed_grouped_mac_pallas(
     queue: jax.Array,
     xt: jax.Array,
@@ -178,6 +182,7 @@ def windowed_grouped_mac_pallas(
     H: jax.Array,
     slot0: int,
     sign_section: int = 1,
+    sign_tail: int | None = None,
     ct: int | None = None,
     ft: int | None = None,
     interpret: bool = False,
@@ -201,6 +206,8 @@ def windowed_grouped_mac_pallas(
     hist slices of the XLA formulation (~13 GB at the pod config) all
     disappear."""
     _, P, C, F = H.shape
+    if sign_tail is None:
+        sign_tail = F  # no alternating tail (standard layout)
     if ct is None:
         ct = 8 if C % 8 == 0 else C
     if ft is None:
@@ -223,7 +230,7 @@ def windowed_grouped_mac_pallas(
         (2, ct, ft), lambda c, f: (0, c, f), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        partial(_wgrouped_kernel, P, slot0, sign_section, ft),
+        partial(_wgrouped_kernel, P, slot0, sign_section, sign_tail, ft),
         grid=(C // ct, nf),
         in_specs=[spec, spec, pspec, spec],
         out_specs=[spec, spec],

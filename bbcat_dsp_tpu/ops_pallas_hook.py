@@ -90,12 +90,14 @@ def maybe_fused_head(x, xcarry, prev, H, block: int,
 
 def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int,
                                sign_section: int = 1,
+                               sign_tail: int | None = None,
                                mode: str | None = None):
     """Window assembly + whole-group tail MAC + rolled queue writeback in
     one kernel (render path with a host-known cursor): ``None`` -> caller
     runs the XLA window-assembly + roll/concat/slide formulation.
-    ``sign_section`` is the shift-sign section of the caller's spectral
-    layout (``fft.half_sign_section``)."""
+    ``sign_section``/``sign_tail`` describe the shift signs of the
+    caller's spectral layout (``fft.half_sign_section`` /
+    ``fft.half_sign_tail``)."""
     if mode is None:
         mode = _mode()
     if mode == "0":
@@ -109,6 +111,7 @@ def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int,
 
     return windowed_grouped_mac_pallas(queue, xt, prev, H, slot0,
                                        sign_section=sign_section,
+                                       sign_tail=sign_tail,
                                        interpret=_interpret())
 
 
@@ -131,7 +134,9 @@ def _permfft_mode(spec=None) -> str | None:
 
 def maybe_perm_rfft_half(x, n: int, spec=None):
     """Fused permuted-layout half-window forward transform (``None`` ->
-    the XLA formulation in fft._perm_rfft_half runs)."""
+    the XLA formulation in fft._perm_rfft_half runs).  Kernel I/O is the
+    engine's FLAT spectral layout, so the reshapes here only split/merge
+    leading axes — free bitcasts."""
     if _permfft_mode(spec) is None:
         return None
     lead = x.shape[:-1]
@@ -140,22 +145,27 @@ def maybe_perm_rfft_half(x, n: int, spec=None):
     for d in lead:
         rows *= int(d)
     from .convolve.fft import _perm_radix
-    from .ops.pallas.perm_fft import MAX_KERNEL_N1, perm_rfft_half_pallas
+    from .ops.pallas.perm_fft import (
+        MAX_KERNEL_N1,
+        MIN_KERNEL_N1,
+        perm_rfft_half_pallas,
+    )
 
     r = spec.radix if spec is not None else _perm_radix(n)
-    if (not r or n // r > MAX_KERNEL_N1 or x.shape[-1] != m
-            or rows < 8 or rows % 8):
+    if (not r or not MIN_KERNEL_N1 <= n // r <= MAX_KERNEL_N1
+            or x.shape[-1] != m or rows < 8 or rows % 8):
         return None
     n1 = n // r
     out = perm_rfft_half_pallas(
-        x.reshape(rows, r // 2, n1), n, interpret=_interpret(),
+        x.reshape(rows, m), n, interpret=_interpret(),
         kara=(spec.kernel_cmatmul == "karatsuba") if spec is not None
-        else None)
+        else None, radix=r)
     return out.reshape((2,) + tuple(lead) + (r * (n1 // 2 + 1),))
 
 
 def maybe_perm_irfft_tail(spec_planes, n: int, spec=None):
-    """Fused permuted-layout tail inverse (``None`` -> XLA path)."""
+    """Fused permuted-layout tail inverse (``None`` -> XLA path).  Flat
+    kernel I/O — boundary reshapes are leading-axis bitcasts."""
     if _permfft_mode(spec) is None:
         return None
     lead = spec_planes.shape[1:-1]
@@ -163,14 +173,19 @@ def maybe_perm_irfft_tail(spec_planes, n: int, spec=None):
     for d in lead:
         rows *= int(d)
     from .convolve.fft import _perm_radix
-    from .ops.pallas.perm_fft import MAX_KERNEL_N1, perm_irfft_tail_pallas
+    from .ops.pallas.perm_fft import (
+        MAX_KERNEL_N1,
+        MIN_KERNEL_N1,
+        perm_irfft_tail_pallas,
+    )
 
     r = spec.radix if spec is not None else _perm_radix(n)
-    if not r or n // r > MAX_KERNEL_N1 or rows < 8 or rows % 8:
+    if (not r or not MIN_KERNEL_N1 <= n // r <= MAX_KERNEL_N1
+            or rows < 8 or rows % 8):
         return None
-    n1 = n // r
+    F = r * (n // r // 2 + 1)
     out = perm_irfft_tail_pallas(
-        spec_planes.reshape(2, rows, r, n1 // 2 + 1), n,
+        spec_planes.reshape(2, rows, F), n,
         interpret=_interpret(),
         kara=(spec.kernel_cmatmul == "karatsuba") if spec is not None
         else None)

@@ -43,7 +43,11 @@ import jax
 
 __all__ = ["save_state", "load_state"]
 
-_FORMAT = 2
+# 3: permuted spectral layout switched to the tile-aligned bin order
+#    ("order 2" — fft.py layout derivation); format <= 2 perm leaves are
+#    in the legacy order and are auto-reordered on load (power-of-two FFT
+#    sizes; otherwise convert manually with fft.convert_perm_order).
+_FORMAT = 3
 
 
 def _writer_meta() -> dict:
@@ -56,6 +60,7 @@ def _writer_meta() -> dict:
         "fft_backend": fft.default_backend(),
         "perm_layout_env": os.environ.get("BBCAT_DSP_PERM_LAYOUT", "auto"),
         "perm_radix_env": os.environ.get("BBCAT_DSP_PERM_RADIX", "8"),
+        "perm_order": 2,
     }
 
 
@@ -111,6 +116,9 @@ def _try_layout_migration(got: np.ndarray, want: "np.ndarray",
         return None
     Fs, Fd = got.shape[-1], want.shape[-1]
     z = got[0] + 1j * got[1]
+    # perm bin order of the WRITER: format <= 2 blobs used the legacy
+    # round-3 order; format >= 3 the tile-aligned order
+    src_order = (meta or {}).get("perm_order", 1)
 
     def planes(c):
         return np.stack([c.real, c.imag]).astype(got.dtype)
@@ -120,7 +128,8 @@ def _try_layout_migration(got: np.ndarray, want: "np.ndarray",
     for r in _candidate_radices(meta):
         if _perm_n_from_bins(Fs, r) == n:
             try:
-                return planes(fft.unpermute_half_spectrum(z, n, radix=r))
+                return planes(fft.unpermute_half_spectrum(
+                    z, n, radix=r, order=src_order))
             except ValueError:
                 continue
     # std -> perm: source bins determine n; the TARGET radix is inferred
@@ -140,10 +149,45 @@ def _try_layout_migration(got: np.ndarray, want: "np.ndarray",
             if r_dst == r_src or _perm_n_from_bins(Fd, r_dst) != n:
                 continue
             try:
-                std = fft.unpermute_half_spectrum(z, n, radix=r_src)
+                std = fft.unpermute_half_spectrum(
+                    z, n, radix=r_src, order=src_order)
             except ValueError:
                 continue
             return planes(fft.permute_half_spectrum(std, n, radix=r_dst))
+    return None
+
+
+def _maybe_reorder_legacy_perm(got: np.ndarray, meta: dict | None):
+    """Reorder a legacy-order (format <= 2) permuted spectral leaf to the
+    tile-aligned order, in place of shape-identical restore.
+
+    STRICT inference guards against touching non-spectral leaves: the leaf
+    must look like stacked re/im planes (shape[0] == 2, ndim >= 3) whose
+    bin count solves F = n/2 + r for a radix the layout can resolve at a
+    POWER-OF-TWO n (every engine FFT size; e.g. a [2, C, 4096] pending
+    buffer inverts to the non-power-of-two n = 8128 and is left alone)."""
+    from ..convolve import fft
+
+    order = (meta or {}).get("perm_order", 1)
+    if order == 2:
+        return None
+    if got.ndim < 3 or got.shape[0] != 2:
+        return None
+    F = got.shape[-1]
+    for r in _candidate_radices(meta):
+        n = _perm_n_from_bins(F, r)
+        if (n and n & (n - 1) == 0 and n % (2 * r) == 0
+                and (n // r) % 2 == 0 and n // r <= 2048):
+            import warnings
+
+            warnings.warn(
+                f"checkpoint leaf {got.shape} holds permuted spectra in "
+                f"the legacy (round-3) bin order; auto-reordering to the "
+                f"tile-aligned order (n={n}, radix={r})",
+                RuntimeWarning, stacklevel=3)
+            z = got[0] + 1j * got[1]
+            z2 = fft.convert_perm_order(z, n, r, from_order=1, to_order=2)
+            return np.stack([z2.real, z2.imag]).astype(got.dtype)
     return None
 
 
@@ -206,6 +250,10 @@ def load_state(path: str, like=None, migrate_layout: bool = True):
                         "difference; re-save from the target backend)"
                     )
                 got = conv
+            elif migrate_layout:
+                conv = _maybe_reorder_legacy_perm(got, meta)
+                if conv is not None:
+                    got = conv
             out.append(jax.numpy.asarray(got))
         return jax.tree.unflatten(treedef, out)
     return jax.tree.unflatten(

@@ -190,8 +190,12 @@ def main() -> None:
     # timing renders each consume a DISTINCT signal: scanning the same x
     # lets XLA hoist the input-dependent stages (whole-signal forward DFTs)
     # out of the repeat loop and inflates the "throughput" ~7x
+    # 24 distinct signals -> the long chain covers ~70 ms of device time,
+    # >2x the relay RTT, so the short/long slope is much less sensitive to
+    # per-call relay jitter than the previous 12-render chain (the
+    # 176-196x spread across round-3 runs was mostly that jitter)
     xs_all = jnp.asarray(
-        rng.standard_normal((12, _C, _T)).astype(np.float32)
+        rng.standard_normal((24, _C, _T)).astype(np.float32)
     )
     audio_seconds = _T / _FS
 
@@ -232,7 +236,7 @@ def main() -> None:
                 _BEST["per_render"] = dt / n
         return best
 
-    n1, n2 = 2, 12
+    n1, n2 = 2, 24
 
     def slope_attempts(slot0, attempts: int, budget_s: float) -> None:
         # The relay's load varies on minute scales and inflates every

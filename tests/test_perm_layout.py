@@ -48,8 +48,10 @@ def test_perm_layout_resolution(monkeypatch):
     assert F.half_engine_layout(65536, "dftmm") == "std"
     assert F.spectral_nbins(8192, "dftmm") == 32 * 129  # n1 = 256
     assert F.spectral_nbins(1024, "dftmm") == 513
-    assert F.half_sign_section(8192, "dftmm") == 129
+    assert F.half_sign_section(8192, "dftmm") == 128
     assert F.half_sign_section(1024, "dftmm") == 1
+    assert F.half_sign_tail(8192, "dftmm") == 32 * 128
+    assert F.half_sign_tail(1024, "dftmm") == 513
     # explicit env radix bypasses the window
     monkeypatch.setenv("BBCAT_DSP_PERM_RADIX", "8")
     assert F._perm_radix(8192) == 8
@@ -469,26 +471,26 @@ def test_perm_fft_pallas_pads_odd_row_counts(rng, monkeypatch):
         perm_rfft_half_pallas,
     )
 
-    # pin the radix: the kernel derives r from the data shape, but the
-    # XLA reference path follows the env default (32 at this n)
+    # pin the radix: the kernels take it explicitly (flat I/O carries no
+    # radix); the XLA reference path follows the env default (32 at this n)
     monkeypatch.setenv("BBCAT_DSP_PERM_RADIX", "8")
     n, r = 4096, 8
     n1 = n // r
     rows = 12  # not a multiple of 8
-    x = rng.standard_normal((rows, r // 2, n1)).astype(np.float32)
-    got = np.asarray(perm_rfft_half_pallas(jnp.asarray(x), n, interpret=True))
-    exp = np.asarray(F._perm_rfft_half(
-        jnp.asarray(x.reshape(rows, n // 2)), n))
-    assert got.shape == (2, rows, r, n1 // 2 + 1)
+    x = rng.standard_normal((rows, n // 2)).astype(np.float32)
+    got = np.asarray(perm_rfft_half_pallas(jnp.asarray(x), n, interpret=True,
+                                           radix=r))
+    exp = np.asarray(F._perm_rfft_half(jnp.asarray(x), n))
+    assert got.shape == (2, rows, r * (n1 // 2 + 1))
     np.testing.assert_allclose(
-        got.reshape(2, rows, -1), exp, rtol=0, atol=np.abs(exp).max() * 1e-5)
+        got, exp, rtol=0, atol=np.abs(exp).max() * 1e-5)
 
-    spec = rng.standard_normal((2, rows, r, n1 // 2 + 1)).astype(np.float32)
+    spec = rng.standard_normal(
+        (2, rows, r * (n1 // 2 + 1))).astype(np.float32)
     got_i = np.asarray(perm_irfft_tail_pallas(jnp.asarray(spec), n,
                                               interpret=True))
-    exp_i = np.asarray(F._perm_irfft_tail(
-        jnp.asarray(spec.reshape(2, rows, -1)), n))
-    assert got_i.shape == (rows, r // 2, n1)
+    exp_i = np.asarray(F._perm_irfft_tail(jnp.asarray(spec), n))
+    assert got_i.shape == (rows, n // 2)
     np.testing.assert_allclose(
-        got_i.reshape(rows, -1), exp_i,
+        got_i, exp_i,
         rtol=0, atol=np.abs(exp_i).max() * 1e-5)
