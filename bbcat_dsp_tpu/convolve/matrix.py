@@ -56,7 +56,10 @@ def partition_ir_matrix(ir: np.ndarray, block: int, nparts: int | None = None,
         sp = permute_half_spectrum(sp, 2 * block,
                                    radix=spec.radix if spec else None)
     sp = np.moveaxis(sp, 2, 0)  # [P, ci, co, F]
-    return jnp.asarray(np.stack([sp.real, sp.imag]).astype(np.float32))
+    from ..utils.layouts import device_put_row_major
+
+    return device_put_row_major(
+        np.stack([sp.real, sp.imag]).astype(np.float32))
 
 
 def _mix(q_rot: jax.Array, H: jax.Array) -> jax.Array:

@@ -253,6 +253,8 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
     reproduced exactly, so the result and final state are interchangeable
     with a chain of :func:`_super_step` calls.
     """
+    from ..utils.layouts import default_layout
+
     sh, st = specs if specs is not None else (None, None)
     C = xg.shape[0]
     B = block
@@ -263,7 +265,11 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
     n_small = Pt * ratio
     from ..ops_pallas_hook import maybe_fused_head
 
-    fused = maybe_fused_head(xg, state.xcarry, state.prev, H_head, B,
+    # re-pin the kernel operands AT the call: the render-entry pins alone
+    # left XLA's layout solver free to relayout the carry between entry
+    # and the custom call (a measured 0.24 ms xcarry copy per pod group)
+    fused = maybe_fused_head(xg, default_layout(state.xcarry), state.prev,
+                             default_layout(H_head), B,
                              mode=sh.fused_head if sh else None,
                              layout=sh.layout if sh else None)
     if fused is not None:
@@ -282,7 +288,11 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
         y_head = jnp.concatenate(y_heads, axis=-1)       # [C, Pt*B2]
 
     # ---- tail: one batched window transform + chunked batched MAC
-    xsup = jnp.moveaxis(xg.reshape(C, Pt, B2), 1, 0)     # [Pt, C, B2]
+    from ..ops_pallas_hook import maybe_gather_supers
+
+    xsup = maybe_gather_supers(xg, Pt, mode=st.mac if st else None)
+    if xsup is None:  # XLA fallback: relayout + transpose copies
+        xsup = jnp.moveaxis(xg.reshape(C, Pt, B2), 1, 0)  # [Pt, C, B2]
     xt = rfft_half_planes(xsup, 2 * B2, spec=st)         # [2, Pt, C, F2]
     # past Pt window spectra, oldest..newest.  Each group advances the
     # step by exactly Pt, so step % Pt is INVARIANT across the group scan:
@@ -300,7 +310,8 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
         from .fft import half_sign_section, half_sign_tail
 
         grouped = maybe_windowed_grouped_mac(
-            state.tail.queue, xt, state.tail.prev, H_tail, tail_slot0,
+            default_layout(state.tail.queue), default_layout(xt),
+            state.tail.prev, default_layout(H_tail), tail_slot0,
             sign_section=half_sign_section(2 * B2, spec=st),
             sign_tail=half_sign_tail(2 * B2, spec=st),
             mode=st.mac if st else None)
@@ -328,9 +339,18 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
 
     # ---- pending re-alignment: super-step j adds the tail output of
     # super-step j-2 (the 2-slot schedule slack)
-    delayed = jnp.concatenate([state.pending, out_tail], axis=0)
-    y = y_head + jnp.moveaxis(delayed[:Pt], 0, 1).reshape(C, Pt * B2)
-    pending = delayed[Pt:Pt + 2]
+    y = None
+    if Pt >= 2:
+        from ..ops_pallas_hook import maybe_delayed_add
+
+        y = maybe_delayed_add(y_head, state.pending, out_tail,
+                              mode=st.mac if st else None)
+    if y is not None:
+        pending = jax.lax.slice_in_dim(out_tail, Pt - 2, Pt, axis=0)
+    else:  # XLA fallback: concat fusion + relayout copies + add
+        delayed = jnp.concatenate([state.pending, out_tail], axis=0)
+        y = y_head + jnp.moveaxis(delayed[:Pt], 0, 1).reshape(C, Pt * B2)
+        pending = delayed[Pt:Pt + 2]
 
     # ---- queue writeback: every slot is overwritten exactly once per
     # group; slot s holds the window written at step' - Pt + ((s-step)%Pt)
@@ -492,7 +512,21 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
             % (type(e).__name__, e), RuntimeWarning, stacklevel=2)
         return nonuniform_render(state, H_head, H_tail, x, block,
                                  tail_slot0=tail_slot0, specs=specs)
-    return fn(state, H_head, H_tail, x)
+    try:
+        return fn(state, H_head, H_tail, x)
+    except ValueError as e:
+        # An operand arrived COMMITTED to a non-row-major layout (jax
+        # refuses to silently relayout explicitly-committed arrays; the
+        # precheck raises BEFORE launch, so the donated buffers are still
+        # alive).  Re-commit everything row-major once — outputs are
+        # pinned, so subsequent calls stay aligned — and retry.
+        if "Layout passed to jit" not in str(e):
+            raise
+        from ..utils.layouts import device_put_row_major
+
+        state, H_head, H_tail, x = jax.tree.map(
+            device_put_row_major, (state, H_head, H_tail, x))
+        return fn(state, H_head, H_tail, x)
 
 
 @partial(jax.jit, static_argnames=("block", "tail_slot0", "specs"),

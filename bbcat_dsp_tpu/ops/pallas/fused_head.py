@@ -119,7 +119,7 @@ def _kernel(P: int, R: int, B: int, F: int, ct: int,
     po_ref[1] = him[R - 1]
 
 
-@partial(jax.jit, static_argnames=("block", "ct", "rt", "interpret"))
+@partial(jax.jit, inline=True, static_argnames=("block", "ct", "rt", "interpret"))
 def fused_head_pallas(
     x: jax.Array,        # [C, n*B]
     xcarry: jax.Array,   # [2, P, C, F]

@@ -186,7 +186,7 @@ def _fwd_kernel(n: int, r: int, prec, kara: bool, x_ref, twr_ref, twi_ref,
     o_ref[1, :, r * h:r * h + r] = jnp.concatenate(nyis, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("n", "rt", "interpret", "kara", "radix"))
+@partial(jax.jit, inline=True, static_argnames=("n", "rt", "interpret", "kara", "radix"))
 def perm_rfft_half_pallas(x: jax.Array, n: int, rt: int | None = None,
                           interpret: bool = False,
                           kara: bool | None = None,
@@ -332,7 +332,7 @@ def _inv_kernel(n: int, r: int, prec, kara: bool, s_ref, wr_ref, wi_ref,
         o_ref[:, t2 * n1:(t2 + 1) * n1] = Yt[r // 2 + t2][0] * inv_n
 
 
-@partial(jax.jit, static_argnames=("n", "rt", "interpret", "kara"))
+@partial(jax.jit, inline=True, static_argnames=("n", "rt", "interpret", "kara"))
 def perm_irfft_tail_pallas(spec: jax.Array, n: int, rt: int | None = None,
                            interpret: bool = False,
                            kara: bool | None = None) -> jax.Array:

@@ -85,7 +85,7 @@ def _rot_kernel(nparts: int, slot: int, q_ref, h_ref, o_ref):
     o_ref[1] += qr * hi + qi * hr
 
 
-@partial(jax.jit, static_argnames=("slot", "ct", "interpret"))
+@partial(jax.jit, inline=True, static_argnames=("slot", "ct", "interpret"))
 def rotated_mac_pallas(
     queue: jax.Array,
     H: jax.Array,
@@ -172,7 +172,7 @@ def _wgrouped_kernel(nparts: int, slot0: int, sec: int, tail: int, ft: int,
         q2_ref[1, sl] = xw_ref[1, (sl - slot0) % P]
 
 
-@partial(jax.jit,
+@partial(jax.jit, inline=True,
          static_argnames=("slot0", "sign_section", "sign_tail", "ct", "ft",
                           "interpret"))
 def windowed_grouped_mac_pallas(
@@ -264,7 +264,7 @@ def _head_kernel(nparts: int, ratio: int, x_ref, h_ref, o_ref):
     o_ref[1] += xr * hi + xi * hr
 
 
-@partial(jax.jit, static_argnames=("ratio", "ct", "interpret"))
+@partial(jax.jit, inline=True, static_argnames=("ratio", "ct", "interpret"))
 def head_mac_tiled_pallas(
     xext: jax.Array,
     H: jax.Array,

@@ -56,7 +56,7 @@ def _kernel(ratio: int, nparts: int, x_ref, h_ref, o_ref):
     o_ref[1] += xr * hi + xi * hr
 
 
-@partial(jax.jit, static_argnames=("ratio", "interpret"))
+@partial(jax.jit, inline=True, static_argnames=("ratio", "interpret"))
 def head_mac_pallas(
     xext: jax.Array, H: jax.Array, ratio: int, interpret: bool = False
 ) -> jax.Array:

@@ -192,6 +192,43 @@ def maybe_perm_irfft_tail(spec_planes, n: int, spec=None):
     return out.reshape(tuple(lead) + (n // 2,))
 
 
+def maybe_gather_supers(x, nsup: int, mode: str | None = None):
+    """One-pass ``[C, T] -> [nsup, C, B2]`` marshalling transpose
+    (``None`` -> caller uses reshape+moveaxis, which XLA lowers as two
+    relayout copies)."""
+    if mode is None:
+        mode = _mode()
+    if mode == "0":
+        return None
+    C, T = x.shape
+    if C % 8 or C < 16 or T % nsup:
+        return None
+    if mode != "1" and C * T < _ROT_MIN_ELEMS:
+        return None
+    from .ops.pallas.marshal import gather_supers_pallas
+
+    return gather_supers_pallas(x, nsup, interpret=_interpret())
+
+
+def maybe_delayed_add(y_head, pending, out_tail, mode: str | None = None):
+    """Fused pending-schedule output assembly (``None`` -> caller runs
+    the XLA concat/moveaxis/add formulation)."""
+    if mode is None:
+        mode = _mode()
+    if mode == "0":
+        return None
+    C, T = y_head.shape
+    Pt = out_tail.shape[0]
+    if C % 8 or C < 16 or T % Pt or pending.shape[0] != 2:
+        return None
+    if mode != "1" and C * T < _ROT_MIN_ELEMS:
+        return None
+    from .ops.pallas.marshal import delayed_add_pallas
+
+    return delayed_add_pallas(y_head, pending, out_tail,
+                              interpret=_interpret())
+
+
 def maybe_rotated_mac(queue, H, slot: int, mode: str | None = None):
     """Static-cursor overlap-save MAC hook (uniform/tail engines):
     ``None`` -> caller runs the XLA static-slice formulation."""

@@ -41,16 +41,28 @@ __all__ = [
 class CommEnv:
     """Link parameters for the collective-time model.
 
-    Defaults are order-of-magnitude v5e public figures: ~45 GB/s usable
-    per-direction ICI bandwidth per chip with ~1 us hop latency; 25 Gbps
-    per-host DCN with ~25 us latency.  The model is linear in all of them,
-    so refitting to measured values rescales, never reshapes, the story.
+    Provenance of each default (measured-vs-assumed, VERDICT r3 #4):
+
+    * ``ici_bw`` / ``ici_lat`` — ASSUMED: order-of-magnitude v5e public
+      figures (~45 GB/s usable per-direction ICI per chip, ~1 us hop).
+      Not measurable in this environment (one chip, no ICI link).
+    * ``dcn_bw`` / ``dcn_lat`` — ASSUMED: 25 Gbps per-host data-center
+      ethernet, ~25 us.  Also not measurable here — and the one
+      host->device path that IS measurable (the axon relay tunnel,
+      ``scripts/measure_input_bw.py`` -> ``BENCH_INPUT_BW.json``) came
+      out at 0.011-0.030 GB/s: it is the RELAY, two orders below any
+      deployment link, so it anchors the model's *method* (and explains
+      why the bench stages inputs device-side before timing) but must
+      NOT be substituted for the pod DCN parameter.
+
+    The model is linear in all of them, so refitting to measured values
+    rescales, never reshapes, the story.
     """
 
-    ici_bw: float = 4.5e10   # bytes/s per chip, per direction
-    ici_lat: float = 1e-6    # seconds per hop
-    dcn_bw: float = 3.125e9  # bytes/s per host (25 Gbps)
-    dcn_lat: float = 25e-6   # seconds per hop
+    ici_bw: float = 4.5e10   # bytes/s per chip, per direction (assumed)
+    ici_lat: float = 1e-6    # seconds per hop (assumed)
+    dcn_bw: float = 3.125e9  # bytes/s per host, 25 Gbps (assumed)
+    dcn_lat: float = 25e-6   # seconds per hop (assumed)
 
 
 def allreduce_bytes(payload: int, n_devices: int) -> int:

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import jax
 
-__all__ = ["default_layout"]
+__all__ = ["default_layout", "device_put_row_major"]
 
 
 def default_layout(x: jax.Array) -> jax.Array:
@@ -31,3 +31,35 @@ def default_layout(x: jax.Array) -> jax.Array:
         return with_layout_constraint(x, Layout(tuple(range(x.ndim))))
     except Exception:  # pragma: no cover - older jax / exotic tracers
         return x
+
+
+def device_put_row_major(x):
+    """Commit a host array to the device in ROW-MAJOR layout.
+
+    jax 0.9 commits plain ``jnp.asarray`` 4-D transfers on this TPU in a
+    twisted default layout (measured: ``major_to_minor=(0, 1, 3, 2)``),
+    while the layout-pinned render programs declare row-major entry
+    layouts — so every call paid an input-relayout dispatch per IR
+    spectra stack (~1.7 ms for the 540 MB pod pair, the last
+    unattributed copies in the config-5 trace).  Committing row-major at
+    CREATION makes the per-call relayout disappear.  Falls back to plain
+    ``jnp.asarray`` off-TPU / multi-device / old jax."""
+    import jax.numpy as jnp
+
+    try:
+        if jax.default_backend() != "tpu" or len(jax.devices()) != 1:
+            raise ValueError
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        import numpy as np
+
+        # device arrays relayout device-side; hosts arrays transfer once
+        a = x if isinstance(x, jax.Array) else np.asarray(x)
+        return jax.device_put(
+            a,
+            Format(Layout(tuple(range(a.ndim))),
+                   SingleDeviceSharding(jax.devices()[0])),
+        )
+    except Exception:  # pragma: no cover - non-TPU paths
+        return jnp.asarray(x)

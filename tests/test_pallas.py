@@ -246,3 +246,33 @@ def test_pallas_mac_hook_integration(rng, monkeypatch):
     # bf16-split HIGH matmuls differ from the CPU reference's full-f32
     # DFT at ~1e-5 relative — tolerance covers precision, not structure
     np.testing.assert_allclose(y_pal, y_ref, atol=3e-4)
+
+
+def test_gather_supers_matches_moveaxis(rng):
+    """Marshalling transpose kernel == reshape+moveaxis, including
+    non-multiple-of-8 window counts (no alignment requirement on Pt)."""
+    from bbcat_dsp_tpu.ops.pallas.marshal import gather_supers_pallas
+
+    for C, Pt, B2 in ((16, 5, 256), (8, 14, 128), (32, 2, 512)):
+        x = rng.standard_normal((C, Pt * B2)).astype(np.float32)
+        got = np.asarray(gather_supers_pallas(jnp.asarray(x), Pt,
+                                              interpret=True))
+        want = np.moveaxis(x.reshape(C, Pt, B2), 1, 0)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_delayed_add_matches_xla_formulation(rng):
+    """Fused pending-schedule output assembly == the concat/moveaxis/add
+    formulation it replaces (bit-exact: same adds, no reassociation)."""
+    from bbcat_dsp_tpu.ops.pallas.marshal import delayed_add_pallas
+
+    for C, Pt, B2 in ((16, 5, 256), (8, 14, 128), (16, 2, 512)):
+        yh = rng.standard_normal((C, Pt * B2)).astype(np.float32)
+        pend = rng.standard_normal((2, C, B2)).astype(np.float32)
+        ot = rng.standard_normal((Pt, C, B2)).astype(np.float32)
+        got = np.asarray(delayed_add_pallas(
+            jnp.asarray(yh), jnp.asarray(pend), jnp.asarray(ot),
+            interpret=True))
+        delayed = np.concatenate([pend, ot], 0)
+        want = yh + np.moveaxis(delayed[:Pt], 0, 1).reshape(C, Pt * B2)
+        np.testing.assert_array_equal(got, want)
