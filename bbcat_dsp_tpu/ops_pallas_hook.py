@@ -20,16 +20,21 @@ from __future__ import annotations
 
 import os
 
-# auto-mode gates, from the v5e A/B sweep (docs/PERFORMANCE.md):
+# auto-mode gates, from the v5e A/B sweeps (docs/PERFORMANCE.md):
 # rotated MAC wins for P >= 8 at any C >= 16 measured; the head FIR wins
-# from C >= 64 (1.5x) and grows with C.  The fused head SUPER-kernel only
-# pays where the unfused pipeline's HBM re-reads dominate its fixed cost —
-# honest end-to-end A/B: +27% RTF at C=1024, -74% at C=64 — so it gates
-# at C >= 128.  All need whole channel tiles.
+# from C >= 64 (1.5x) and grows with C.  The original round-2 sweep put
+# the fused-head gate at C >= 128 (-74% at C=64 then) and the element
+# floors at 2M/512k — but the tile-aligned perm order + flat kernel I/O
+# (round 4) changed the economics: re-measured at the 64ch x 32k-tap
+# headline geometry, forcing ALL kernels is +23% device RTF (1102 ->
+# 1352x; fused head alone +12%, the rest +11%) and +11 dB SNR (bf16-split
+# HIGH everywhere).  Gates lowered so that geometry engages everything;
+# C < 64 remains unmeasured and keeps the conservative floors via
+# _FUSED_MIN_CH and the whole-channel-tile requirements.
 _ROT_MIN_PARTS = 8
-_ROT_MIN_ELEMS = 2 * 1024 * 1024    # P*C*F per plane
-_HEAD_MIN_ELEMS = 512 * 1024        # P*C*F per plane
-_FUSED_MIN_CH = 128
+_ROT_MIN_ELEMS = 1024 * 1024        # P*C*F per plane
+_HEAD_MIN_ELEMS = 256 * 1024        # P*C*F per plane
+_FUSED_MIN_CH = 64
 
 
 def _mode() -> str:
