@@ -39,6 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import precise_dot
 
+# channel-tile VMEM budget for the auto ct heuristic below; module-level
+# so shape experiments can tighten it without editing the heuristic
+_CT_BUDGET_BYTES = 7 << 20
+
 __all__ = ["fused_head_pallas"]
 
 def _dot(a, b):
@@ -175,7 +179,7 @@ def fused_head_pallas(
         # in this budget — 7 MB here lands ~14-15 MB total, inside the
         # 16 MB scoped-vmem limit with the compiler's own temporaries.
         per_ch = (6 * P + 8 * R + 8) * F + 4 * R * B
-        while ct > 8 and (ct * per_ch * 4 > (7 << 20) or C % ct):
+        while ct > 8 and (ct * per_ch * 4 > _CT_BUDGET_BYTES or C % ct):
             ct //= 2
 
     grid = (C // ct, nblocks // R)
