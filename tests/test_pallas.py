@@ -276,3 +276,45 @@ def test_delayed_add_matches_xla_formulation(rng):
         delayed = np.concatenate([pend, ot], 0)
         want = yh + np.moveaxis(delayed[:Pt], 0, 1).reshape(C, Pt * B2)
         np.testing.assert_array_equal(got, want)
+
+
+def test_auto_gates_engage_at_headline_geometry(monkeypatch):
+    """Regression for the round-4 gate retune: at the HEADLINE geometry
+    (C=64, 32k taps, B=512, ratio 8 -> head P=16/F=513, tail Pt=6/F=4097)
+    auto mode must engage the full kernel stack (hardware A/B: +23%
+    device RTF, +11 dB SNR).  Kernels are stubbed -- this tests the GATE
+    decisions, not the kernels (covered above)."""
+    import bbcat_dsp_tpu.ops_pallas_hook as hook
+
+    hits = []
+    monkeypatch.setattr("bbcat_dsp_tpu.ops.pallas.fused_head."
+                        "fused_head_pallas",
+                        lambda *a, **k: hits.append("fused") or "x")
+    monkeypatch.setattr("bbcat_dsp_tpu.ops.pallas.spectral_fir."
+                        "windowed_grouped_mac_pallas",
+                        lambda *a, **k: hits.append("grouped") or "x")
+    monkeypatch.setattr("bbcat_dsp_tpu.ops.pallas.marshal."
+                        "gather_supers_pallas",
+                        lambda *a, **k: hits.append("gather") or "x")
+    monkeypatch.setattr("bbcat_dsp_tpu.ops.pallas.marshal."
+                        "delayed_add_pallas",
+                        lambda *a, **k: hits.append("delayed") or "x")
+
+    C, B, F = 64, 512, 513
+    Pt, B2, F2 = 6, 4096, 4097
+    z = jnp.zeros  # gates look at shapes only
+    assert hook.maybe_fused_head(z((C, 8 * B)), z((2, 16, C, F)),
+                                 z((2, C, F)), z((2, 16, C, F)), B,
+                                 mode="auto", layout="std") == "x"
+    assert hook.maybe_windowed_grouped_mac(
+        z((2, Pt, C, F2)), z((2, Pt, C, F2)), z((2, C, F2)),
+        z((2, Pt, C, F2)), 0, mode="auto") == "x"
+    assert hook.maybe_gather_supers(z((C, Pt * B2)), Pt, mode="auto") == "x"
+    assert hook.maybe_delayed_add(z((C, Pt * B2)), z((2, C, B2)),
+                                  z((Pt, C, B2)), mode="auto") == "x"
+    assert hits == ["fused", "grouped", "gather", "delayed"]
+
+    # below the measured floor (C=32, unmeasured) the fused head stays off
+    assert hook.maybe_fused_head(z((32, 8 * B)), z((2, 16, 32, F)),
+                                 z((2, 32, F)), z((2, 16, 32, F)), B,
+                                 mode="auto", layout="std") is None
