@@ -394,10 +394,26 @@ def ensure_layout_usable(n: int, backend: str | None = None) -> str:
     layout = half_engine_layout(n, b)
     if layout != "perm":
         return layout
+    return _probe_perm_build(n, b)
+
+
+def _probe_perm_build(n: int, backend: str) -> str:
+    """Build-probe the permuted transform pair for (backend, n); returns
+    the layout that will actually be used ("perm", or "std" with a warning
+    + process-wide blacklist when the build fails).  Does NOT consult
+    ``BBCAT_DSP_PERM_LAYOUT`` — callers have already resolved the layout
+    request (possibly via an explicit ``layout="perm"`` override that the
+    env must not silently undo)."""
+    import os
+    import warnings
+
+    b = backend
     if os.environ.get("BBCAT_DSP_LAYOUT_PROBE", "1") == "0":
-        return layout
+        return "perm"
     r = _perm_radix(n)
     key = (b, n, r)
+    if key in _LAYOUT_BLOCKED:
+        return "std"
     if key in _LAYOUT_OK:
         return "perm"
     try:
@@ -405,7 +421,10 @@ def ensure_layout_usable(n: int, backend: str | None = None) -> str:
         fwd.lower(
             jax.ShapeDtypeStruct((8, n // 2), jnp.float32)
         ).compile()
-        F = spectral_nbins(n, b)
+        # the PERM bin count, computed directly — spectral_nbins would
+        # re-read BBCAT_DSP_PERM_LAYOUT and hand the inverse probe the std
+        # count under env=0, failing the build for the wrong reason
+        F = r * (n // r // 2 + 1)
         inv = jax.jit(lambda s: _perm_irfft_tail(s, n))
         inv.lower(
             jax.ShapeDtypeStruct((2, 8, F), jnp.float32)
@@ -473,34 +492,45 @@ def resolve_spectral_spec(
     elif layout == "perm":
         lay = "perm" if (b == "dftmm" and _perm_radix(n)) else "std"
         if lay == "perm" and probe:
-            lay = ensure_layout_usable(n, b)
+            # probe ONLY verifies the program builds — it must not route
+            # through half_engine_layout, whose BBCAT_DSP_PERM_LAYOUT=0
+            # read would silently undo this explicit override
+            lay = _probe_perm_build(n, b)
     else:
         lay = "std"
     r = _perm_radix(n) if lay == "perm" else None
     permfft = os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "auto")
     if r and permfft == "1":
-        # loud fence at the kernel size ceiling: a FORCED kernel config
-        # that the kernels cannot serve would otherwise silently route to
-        # the XLA formulation (VERDICT r3 next #8).  The auto radix window
-        # (256 <= n1 <= 1024) keeps resolved configs inside the ceiling up
-        # to n = 32768; only an explicit BBCAT_DSP_PERM_RADIX can exceed it.
-        from ..ops.pallas.perm_fft import MAX_KERNEL_N1
+        # loud fence over the WHOLE serve predicate (ceiling, floor, tile
+        # alignment): a FORCED kernel config the kernels cannot serve
+        # would otherwise silently route to the XLA formulation
+        # (VERDICT r3 next #8).  The auto radix window (256 <= n1 <= 1024,
+        # power-of-two n) keeps resolved configs servable up to
+        # n = 32768; only an explicit BBCAT_DSP_PERM_RADIX or an exotic
+        # block size can leave it.
+        from ..ops.pallas.perm_fft import (
+            MAX_KERNEL_N1,
+            MIN_KERNEL_N1,
+            kernel_serves_n1,
+        )
 
-        if n // r > MAX_KERNEL_N1:
+        if not kernel_serves_n1(n // r):
             import warnings
 
             warnings.warn(
                 f"BBCAT_DSP_PALLAS_PERMFFT=1 forced, but n1 = {n // r} "
-                f"(n={n}, radix={r}) exceeds the perm-FFT kernel ceiling "
-                f"MAX_KERNEL_N1={MAX_KERNEL_N1}; the XLA formulation will "
-                "run for this size (see ops/pallas/perm_fft.py for the "
-                "ceiling rationale)",
+                f"(n={n}, radix={r}) is outside what the perm-FFT kernels "
+                f"serve (MIN_KERNEL_N1={MIN_KERNEL_N1} <= n1 <= "
+                f"MAX_KERNEL_N1={MAX_KERNEL_N1}, n1 a multiple of 256); "
+                "the XLA formulation will run for this size (see "
+                "ops/pallas/perm_fft.py for the rationale)",
                 RuntimeWarning,
                 stacklevel=2,
             )
     cm = os.environ.get("BBCAT_DSP_CMATMUL", "classic")
-    kcm = os.environ.get("BBCAT_DSP_KERNEL_CMATMUL", cm if
-                         "BBCAT_DSP_CMATMUL" in os.environ else "karatsuba")
+    from ..ops.pallas.perm_fft import resolve_kernel_cmatmul
+
+    kcm = resolve_kernel_cmatmul()
     mac = os.environ.get("BBCAT_DSP_PALLAS_MAC", "auto")
     return SpectralSpec(
         n=int(n),

@@ -512,18 +512,24 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
             % (type(e).__name__, e), RuntimeWarning, stacklevel=2)
         return nonuniform_render(state, H_head, H_tail, x, block,
                                  tail_slot0=tail_slot0, specs=specs)
+    from ..utils.layouts import committed_off_row_major, device_put_row_major
+
+    # an operand COMMITTED to a non-row-major layout would make the
+    # row-major-pinned jit refuse the call (jax never silently relayouts
+    # an explicitly-committed array).  Detect it from the arrays' own
+    # layout metadata and re-commit once — outputs are pinned, so
+    # subsequent calls stay aligned.
+    if committed_off_row_major((state, H_head, H_tail, x)):
+        state, H_head, H_tail, x = jax.tree.map(
+            device_put_row_major, (state, H_head, H_tail, x))
     try:
         return fn(state, H_head, H_tail, x)
     except ValueError as e:
-        # An operand arrived COMMITTED to a non-row-major layout (jax
-        # refuses to silently relayout explicitly-committed arrays; the
-        # precheck raises BEFORE launch, so the donated buffers are still
-        # alive).  Re-commit everything row-major once — outputs are
-        # pinned, so subsequent calls stay aligned — and retry.
+        # belt-and-braces for layout-metadata APIs that hide the mismatch
+        # (the precheck raises BEFORE launch, so the donated buffers are
+        # still alive for the retry)
         if "Layout passed to jit" not in str(e):
             raise
-        from ..utils.layouts import device_put_row_major
-
         state, H_head, H_tail, x = jax.tree.map(
             device_put_row_major, (state, H_head, H_tail, x))
         return fn(state, H_head, H_tail, x)

@@ -79,6 +79,14 @@ MAX_KERNEL_N1 = 1024
 MIN_KERNEL_N1 = 256
 
 
+def kernel_serves_n1(n1: int) -> bool:
+    """True when the fused perm-FFT kernels can serve inner length ``n1``:
+    inside the VMEM ceiling window AND tile-aligned (n1/2 a multiple of
+    the 128-lane tile — an in-window non-power-of-two like n1=384 would
+    reintroduce the (8,128) padding the flat layout exists to remove)."""
+    return MIN_KERNEL_N1 <= n1 <= MAX_KERNEL_N1 and n1 % 256 == 0
+
+
 def _kara() -> bool:
     """In-kernel complex-matmul formulation: Karatsuba = 3 stage dots
     instead of 4 (25% fewer MXU passes at ~1.5x the rounding, still
@@ -88,12 +96,20 @@ def _kara() -> bool:
     module-wide BBCAT_DSP_CMATMUL when that is set explicitly (so a
     full-classic A/B run flips both).  Engines pass their frozen
     SpectralSpec.kernel_cmatmul instead (the ``kara`` wrapper arg)."""
+    return resolve_kernel_cmatmul() == "karatsuba"
+
+
+def resolve_kernel_cmatmul() -> str:
+    """CANONICAL resolution of the in-kernel stage-dot formulation:
+    ``BBCAT_DSP_KERNEL_CMATMUL`` if set, else ``BBCAT_DSP_CMATMUL`` if
+    that is set explicitly (a full-classic A/B flips both), else
+    ``"karatsuba"``.  ``fft.resolve_spectral_spec`` freezes this value
+    into engine specs — keep exactly one implementation of the rule."""
     import os
 
-    v = os.environ.get(
+    return os.environ.get(
         "BBCAT_DSP_KERNEL_CMATMUL",
         os.environ.get("BBCAT_DSP_CMATMUL", "karatsuba"))
-    return v == "karatsuba"
 
 
 def _alt_sign(shape, dtype):

@@ -150,14 +150,10 @@ def maybe_perm_rfft_half(x, n: int, spec=None):
     for d in lead:
         rows *= int(d)
     from .convolve.fft import _perm_radix
-    from .ops.pallas.perm_fft import (
-        MAX_KERNEL_N1,
-        MIN_KERNEL_N1,
-        perm_rfft_half_pallas,
-    )
+    from .ops.pallas.perm_fft import kernel_serves_n1, perm_rfft_half_pallas
 
     r = spec.radix if spec is not None else _perm_radix(n)
-    if (not r or not MIN_KERNEL_N1 <= n // r <= MAX_KERNEL_N1
+    if (not r or not kernel_serves_n1(n // r)
             or x.shape[-1] != m or rows < 8 or rows % 8):
         return None
     n1 = n // r
@@ -178,14 +174,10 @@ def maybe_perm_irfft_tail(spec_planes, n: int, spec=None):
     for d in lead:
         rows *= int(d)
     from .convolve.fft import _perm_radix
-    from .ops.pallas.perm_fft import (
-        MAX_KERNEL_N1,
-        MIN_KERNEL_N1,
-        perm_irfft_tail_pallas,
-    )
+    from .ops.pallas.perm_fft import kernel_serves_n1, perm_irfft_tail_pallas
 
     r = spec.radix if spec is not None else _perm_radix(n)
-    if (not r or not MIN_KERNEL_N1 <= n // r <= MAX_KERNEL_N1
+    if (not r or not kernel_serves_n1(n // r)
             or rows < 8 or rows % 8):
         return None
     F = r * (n // r // 2 + 1)

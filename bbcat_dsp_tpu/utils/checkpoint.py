@@ -123,10 +123,12 @@ def _try_layout_migration(got: np.ndarray, want: "np.ndarray",
     def planes(c):
         return np.stack([c.real, c.imag]).astype(got.dtype)
 
-    # perm -> std: target bins determine n directly
+    # perm -> std: target bins determine n directly.  All perm paths also
+    # require n > _MAX_DIRECT — the permuted layout is never constructed
+    # at direct-matmul sizes, so smaller solutions are false positives.
     n = 2 * (Fd - 1)
     for r in _candidate_radices(meta):
-        if _perm_n_from_bins(Fs, r) == n:
+        if n > fft._MAX_DIRECT and _perm_n_from_bins(Fs, r) == n:
             try:
                 return planes(fft.unpermute_half_spectrum(
                     z, n, radix=r, order=src_order))
@@ -138,12 +140,12 @@ def _try_layout_migration(got: np.ndarray, want: "np.ndarray",
     # matches)
     n = 2 * (Fs - 1)
     for r_dst in _candidate_radices(None):
-        if _perm_n_from_bins(Fd, r_dst) == n:
+        if n > fft._MAX_DIRECT and _perm_n_from_bins(Fd, r_dst) == n:
             return planes(fft.permute_half_spectrum(z, n, radix=r_dst))
     # perm(r_src) -> perm(r_dst): both radices inferred from bin counts
     for r_src in _candidate_radices(meta):
         n = _perm_n_from_bins(Fs, r_src)
-        if not n:
+        if not n or n <= fft._MAX_DIRECT:
             continue
         for r_dst in _candidate_radices(None):
             if r_dst == r_src or _perm_n_from_bins(Fd, r_dst) != n:
@@ -176,7 +178,12 @@ def _maybe_reorder_legacy_perm(got: np.ndarray, meta: dict | None):
     F = got.shape[-1]
     for r in _candidate_radices(meta):
         n = _perm_n_from_bins(F, r)
-        if (n and n & (n - 1) == 0 and n % (2 * r) == 0
+        # n must ALSO be a size the permuted layout can ever have been
+        # written at (> _MAX_DIRECT): without that bound, small non-spectral
+        # [2, .., F] leaves (ring/meter buffers) can solve F = n/2 + r at a
+        # small power-of-two n and be silently scrambled.
+        if (n and n & (n - 1) == 0 and n > fft._MAX_DIRECT
+                and n % (2 * r) == 0
                 and (n // r) % 2 == 0 and n // r <= 2048):
             import warnings
 

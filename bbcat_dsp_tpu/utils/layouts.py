@@ -19,7 +19,27 @@ from __future__ import annotations
 
 import jax
 
-__all__ = ["default_layout", "device_put_row_major"]
+__all__ = ["default_layout", "device_put_row_major",
+           "committed_off_row_major"]
+
+
+def committed_off_row_major(tree) -> bool:
+    """True when any array leaf in ``tree`` is COMMITTED to a
+    non-row-major device layout — the one condition under which a
+    row-major-pinned jit refuses the call outright (jax raises before
+    launch rather than silently relayouting an explicitly-committed
+    array).  Uncommitted arrays relayout freely and report False.
+    Conservatively False when the layout metadata API is unavailable."""
+    for leaf in jax.tree.leaves(tree):
+        try:
+            if not isinstance(leaf, jax.Array) or not leaf.committed:
+                continue
+            if (leaf.format.layout.major_to_minor
+                    != tuple(range(leaf.ndim))):
+                return True
+        except Exception:  # pragma: no cover - old jax / exotic arrays
+            continue
+    return False
 
 
 def default_layout(x: jax.Array) -> jax.Array:

@@ -201,3 +201,45 @@ def test_kernel_ceiling_boundary(monkeypatch, rng):
          np.zeros((1, n // 2))], axis=-1), axis=-1)
     want = fft.permute_half_spectrum(z, n, radix=16)
     assert snr_db(np.stack([want.real, want.imag]), got) > 110.0
+
+
+def test_probe_does_not_undo_explicit_perm_override(monkeypatch):
+    """Code-review r4: with BBCAT_DSP_PERM_LAYOUT=0 in the env, an
+    explicit layout="perm" request must survive probe=True — the probe
+    verifies the program BUILDS, it must not re-resolve the env (an A/B
+    harness exporting the env for its std arm would otherwise silently
+    measure std against std)."""
+    monkeypatch.setenv("BBCAT_DSP_PERM_LAYOUT", "0")
+    s = resolve_spectral_spec(8192, backend="dftmm", probe=True,
+                              layout="perm")
+    assert s.layout == "perm" and s.radix is not None
+
+
+def test_kernel_gate_requires_tile_alignment():
+    """Code-review r4: an in-window but non-power-of-two n1 (e.g. 384 at
+    n=3072 radix 8) must not pass the kernel gate — its n1/2=192-lane
+    sections break the 128-lane tile alignment the flat layout exists
+    for."""
+    from bbcat_dsp_tpu.ops.pallas.perm_fft import kernel_serves_n1
+
+    assert kernel_serves_n1(256) and kernel_serves_n1(512)
+    assert kernel_serves_n1(1024)
+    assert not kernel_serves_n1(384)
+    assert not kernel_serves_n1(128)
+    assert not kernel_serves_n1(2048)
+
+
+def test_kernel_floor_fenced_loudly(monkeypatch):
+    """Code-review r4: a FORCED kernel config below MIN_KERNEL_N1 warns
+    instead of silently routing to XLA (the r3 fence only covered the MAX
+    side)."""
+    import warnings
+
+    monkeypatch.setenv("BBCAT_DSP_PALLAS_PERMFFT", "1")
+    monkeypatch.setenv("BBCAT_DSP_PERM_RADIX", "64")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        s = resolve_spectral_spec(8192, backend="dftmm", probe=False)
+    assert s.radix == 64 and 8192 // 64 == 128
+    assert any("MIN_KERNEL_N1" in str(w.message) for w in rec), (
+        "forced-kernel config below the floor resolved silently")

@@ -181,3 +181,23 @@ def test_checkpoint_bankstate_zero_fill_migration(tmp_path, rng):
         raise AssertionError("4-leaf blob restored silently")
     except ValueError as e:
         assert "structure changed" in str(e)
+
+
+def test_legacy_perm_reorder_leaves_small_nonspectral_leaves_alone():
+    """Code-review r4: a [2, C, F] NON-spectral leaf whose bin count
+    happens to solve F = n/2 + r at a small power-of-two n (perm never
+    existed at n <= 2048) must restore bit-identical, not be 'reordered'."""
+    import numpy as np
+
+    from bbcat_dsp_tpu.utils.checkpoint import _maybe_reorder_legacy_perm
+
+    # F=264 -> n=512 (r=8); F=16 -> n=16 (r=8): both below _MAX_DIRECT
+    for shape in ((2, 4, 264), (2, 3, 16)):
+        leaf = np.arange(np.prod(shape), dtype=np.float32).reshape(shape)
+        assert _maybe_reorder_legacy_perm(leaf, {"perm_order": 1}) is None
+    # a REAL legacy perm spectral shape still reorders (n=8192, radix 16:
+    # F = 16 * (512/2 + 1) = 4112)
+    leaf = np.random.default_rng(0).standard_normal(
+        (2, 4, 4112)).astype(np.float32)
+    out = _maybe_reorder_legacy_perm(leaf, {"perm_order": 1})
+    assert out is not None and out.shape == leaf.shape
