@@ -201,3 +201,16 @@ def test_legacy_perm_reorder_leaves_small_nonspectral_leaves_alone():
         (2, 4, 4112)).astype(np.float32)
     out = _maybe_reorder_legacy_perm(leaf, {"perm_order": 1})
     assert out is not None and out.shape == leaf.shape
+
+
+def test_committed_off_row_major_smoke():
+    """The proactive layout precheck must never raise and must report
+    False for ordinary (uncommitted or row-major) values and non-arrays."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bbcat_dsp_tpu.utils.layouts import committed_off_row_major
+
+    tree = {"a": jnp.arange(8.0), "b": np.ones((2, 3)), "c": 1.5,
+            "d": jnp.ones((4, 4))}
+    assert committed_off_row_major(tree) is False
