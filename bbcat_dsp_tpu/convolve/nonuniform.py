@@ -514,11 +514,12 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
                                  tail_slot0=tail_slot0, specs=specs)
     from ..utils.layouts import committed_off_row_major, device_put_row_major
 
-    # an operand COMMITTED to a non-row-major layout would make the
-    # row-major-pinned jit refuse the call (jax never silently relayouts
-    # an explicitly-committed array).  Detect it from the arrays' own
-    # layout metadata and re-commit once — outputs are pinned, so
-    # subsequent calls stay aligned.
+    # an operand sitting on device in a non-row-major layout can make the
+    # row-major-pinned jit refuse the call — for COMMITTED arrays always,
+    # and (measured, warm-process-dependent) sometimes for uncommitted
+    # ones too.  Detect it from the arrays' own layout metadata and
+    # re-commit once — outputs are pinned, so subsequent calls stay
+    # aligned.
     if committed_off_row_major((state, H_head, H_tail, x)):
         state, H_head, H_tail, x = jax.tree.map(
             device_put_row_major, (state, H_head, H_tail, x))
@@ -532,7 +533,22 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
             raise
         state, H_head, H_tail, x = jax.tree.map(
             device_put_row_major, (state, H_head, H_tail, x))
-        return fn(state, H_head, H_tail, x)
+        try:
+            return fn(state, H_head, H_tail, x)
+        except ValueError as e2:
+            # re-commit demonstrably didn't take (device_put fell back, or
+            # a layout API mismatch) — run unpinned rather than fail: same
+            # math, auto layouts, relayout copies instead of an error.
+            if "Layout passed to jit" not in str(e2):
+                raise
+            import warnings
+
+            warnings.warn(
+                "row-major re-commit did not satisfy the pinned render's "
+                "entry layouts; falling back to the unpinned render for "
+                "this call", RuntimeWarning, stacklevel=2)
+            return nonuniform_render(state, H_head, H_tail, x, block,
+                                     tail_slot0=tail_slot0, specs=specs)
 
 
 @partial(jax.jit, static_argnames=("block", "tail_slot0", "specs"),

@@ -24,15 +24,19 @@ __all__ = ["default_layout", "device_put_row_major",
 
 
 def committed_off_row_major(tree) -> bool:
-    """True when any array leaf in ``tree`` is COMMITTED to a
-    non-row-major device layout — the one condition under which a
-    row-major-pinned jit refuses the call outright (jax raises before
-    launch rather than silently relayouting an explicitly-committed
-    array).  Uncommitted arrays relayout freely and report False.
+    """True when any array leaf in ``tree`` sits on device in a
+    non-row-major layout — the condition under which a row-major-pinned
+    jit may refuse the call outright (jax raises before launch rather
+    than relayouting).  Measured on the v5e: whether jax relayouts or
+    raises for an UNCOMMITTED off-layout arg is context-dependent (a
+    fresh process relayouts; after other programs have warmed the
+    executable cache the same call raises), so the precheck flags any
+    concrete off-row-major layout, committed or not — the explicit
+    re-commit costs the same one-time copy the silent relayout would.
     Conservatively False when the layout metadata API is unavailable."""
     for leaf in jax.tree.leaves(tree):
         try:
-            if not isinstance(leaf, jax.Array) or not leaf.committed:
+            if not isinstance(leaf, jax.Array):
                 continue
             if (leaf.format.layout.major_to_minor
                     != tuple(range(leaf.ndim))):
@@ -81,5 +85,17 @@ def device_put_row_major(x):
             Format(Layout(tuple(range(a.ndim))),
                    SingleDeviceSharding(jax.devices()[0])),
         )
-    except Exception:  # pragma: no cover - non-TPU paths
+    except ValueError:  # non-TPU / multi-device: expected, stay quiet
+        return jnp.asarray(x)
+    except Exception as e:  # pragma: no cover - device-side failure
+        # an on-TPU device_put failing is NOT expected — it leaves the
+        # array off-layout and every pinned call degraded; say so instead
+        # of silently returning the original (a silent version of this
+        # cost a round-3 session ~8% RT before it was found)
+        import warnings
+
+        warnings.warn(
+            "device_put_row_major failed on-device (%s: %s); returning "
+            "the original array — pinned renders may refuse or relayout"
+            % (type(e).__name__, e), RuntimeWarning, stacklevel=2)
         return jnp.asarray(x)

@@ -238,19 +238,60 @@ def _provenance() -> dict:
     }
 
 
-def main() -> int:
+_CONFIGS = ["bench_config1", "bench_config2", "bench_config3",
+            "bench_config4", "bench_config5"]
+
+
+def _run_one(name: str):
+    try:
+        r = globals()[name]()
+    except Exception as e:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc()  # the JSON keeps only repr; stderr gets
+        r = {"config": name, "error": repr(e)[:300]}  # the stack
+    return r
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "--only":
+        # child mode: one config, print its JSON line, touch nothing else
+        print(json.dumps(_run_one(argv[1])))
+        return 0
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     results = {"device": str(jax.devices()[0]), "provenance": _provenance()}
-    for fn in [bench_config1, bench_config2, bench_config3, bench_config4,
-               bench_config5]:
-        try:
-            r = fn()
-        except Exception as e:  # noqa: BLE001
-            r = {"config": fn.__name__, "error": repr(e)[:300]}
-        key = fn.__name__
-        results[key] = r
+    isolate = "--no-isolate" not in argv
+    for name in _CONFIGS:
+        if isolate:
+            # each config in its OWN process: a warm process accumulates
+            # device/executable state that can poison a later big program
+            # (observed: config5 failing with async TPU InvalidArgument /
+            # pinned-layout refusals ONLY after configs 1-4 ran in the
+            # same process, while standalone runs always pass — the
+            # per-config subprocess reproduces the always-passing case)
+            import subprocess
+
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--only", name],
+                capture_output=True, text=True, timeout=1200)
+            r = None
+            for ln in reversed(p.stdout.strip().splitlines()):
+                try:
+                    r = json.loads(ln)
+                    break
+                except ValueError:
+                    continue
+            if r is None:
+                r = {"config": name,
+                     "error": "subprocess produced no JSON (rc=%d): %s"
+                     % (p.returncode, p.stderr[-200:])}
+        else:
+            r = _run_one(name)
+        results[name] = r
         print(json.dumps(r))
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_EXTRA.json"), "w") as fp:
