@@ -19,6 +19,7 @@ falls back to the env read (trace-time) for direct functional callers.
 from __future__ import annotations
 
 import os
+from functools import partial
 
 # auto-mode gates, from the v5e A/B sweeps (docs/PERFORMANCE.md):
 # rotated MAC wins for P >= 8 at any C >= 16 measured; the head FIR wins
@@ -57,13 +58,19 @@ def maybe_pallas_mac(xext, H, ratio, mode: str | None = None):
     _, P, C, F = H.shape
     if mode != "1" and (P * C * F < _HEAD_MIN_ELEMS or C < 64 or C % 8):
         return None
+    from .ops.pallas import adjoint
+
     if C % 8 == 0 and C >= 16:
         from .ops.pallas.spectral_fir import head_mac_tiled_pallas
 
-        return head_mac_tiled_pallas(xext, H, ratio, interpret=_interpret())
-    from .ops.pallas.spectral_mac import head_mac_pallas
+        kern = partial(head_mac_tiled_pallas, ratio=ratio,
+                       interpret=_interpret())
+    else:
+        from .ops.pallas.spectral_mac import head_mac_pallas
 
-    return head_mac_pallas(xext, H, ratio, interpret=_interpret())
+        kern = partial(head_mac_pallas, ratio=ratio, interpret=_interpret())
+    return adjoint.linear_vjp(
+        kern, partial(adjoint.xla_head_mac, ratio=ratio))(xext, H)
 
 
 def maybe_fused_head(x, xcarry, prev, H, block: int,
@@ -87,10 +94,13 @@ def maybe_fused_head(x, xcarry, prev, H, block: int,
     if mode != "1" and (P * C * F < _HEAD_MIN_ELEMS
                         or C < _FUSED_MIN_CH or C % 8):
         return None
+    from .ops.pallas import adjoint
     from .ops.pallas.fused_head import fused_head_pallas
 
-    return fused_head_pallas(x, xcarry, prev, H, block,
-                             interpret=_interpret())
+    return adjoint.linear_vjp(
+        partial(fused_head_pallas, block=block, interpret=_interpret()),
+        partial(adjoint.xla_fused_head, block=block),
+    )(x, xcarry, prev, H)
 
 
 def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int,
@@ -112,12 +122,17 @@ def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int,
         return None
     if mode != "1" and (P < 2 or P * C * F < _ROT_MIN_ELEMS):
         return None
+    from .ops.pallas import adjoint
     from .ops.pallas.spectral_fir import windowed_grouped_mac_pallas
 
-    return windowed_grouped_mac_pallas(queue, xt, prev, H, slot0,
-                                       sign_section=sign_section,
-                                       sign_tail=sign_tail,
-                                       interpret=_interpret())
+    tail_ix = F if sign_tail is None else sign_tail
+    return adjoint.linear_vjp(
+        partial(windowed_grouped_mac_pallas, slot0=slot0,
+                sign_section=sign_section, sign_tail=sign_tail,
+                interpret=_interpret()),
+        partial(adjoint.xla_windowed_grouped_mac, slot0=slot0,
+                sec=sign_section, tail=tail_ix),
+    )(queue, xt, prev, H)
 
 
 def _permfft_mode(spec=None) -> str | None:
@@ -156,11 +171,15 @@ def maybe_perm_rfft_half(x, n: int, spec=None):
     if (not r or not kernel_serves_n1(n // r)
             or x.shape[-1] != m or rows < 8 or rows % 8):
         return None
+    from .ops.pallas import adjoint
+
     n1 = n // r
-    out = perm_rfft_half_pallas(
-        x.reshape(rows, m), n, interpret=_interpret(),
-        kara=(spec.kernel_cmatmul == "karatsuba") if spec is not None
-        else None, radix=r)
+    out = adjoint.linear_vjp(
+        partial(perm_rfft_half_pallas, n=n, interpret=_interpret(),
+                kara=(spec.kernel_cmatmul == "karatsuba")
+                if spec is not None else None, radix=r),
+        partial(adjoint.xla_perm_rfft_half, n=n, spec=spec),
+    )(x.reshape(rows, m))
     return out.reshape((2,) + tuple(lead) + (r * (n1 // 2 + 1),))
 
 
@@ -180,12 +199,15 @@ def maybe_perm_irfft_tail(spec_planes, n: int, spec=None):
     if (not r or not kernel_serves_n1(n // r)
             or rows < 8 or rows % 8):
         return None
+    from .ops.pallas import adjoint
+
     F = r * (n // r // 2 + 1)
-    out = perm_irfft_tail_pallas(
-        spec_planes.reshape(2, rows, F), n,
-        interpret=_interpret(),
-        kara=(spec.kernel_cmatmul == "karatsuba") if spec is not None
-        else None)
+    out = adjoint.linear_vjp(
+        partial(perm_irfft_tail_pallas, n=n, interpret=_interpret(),
+                kara=(spec.kernel_cmatmul == "karatsuba")
+                if spec is not None else None),
+        partial(adjoint.xla_perm_irfft_tail, n=n, spec=spec),
+    )(spec_planes.reshape(2, rows, F))
     return out.reshape(tuple(lead) + (n // 2,))
 
 
@@ -202,9 +224,13 @@ def maybe_gather_supers(x, nsup: int, mode: str | None = None):
         return None
     if mode != "1" and C * T < _ROT_MIN_ELEMS:
         return None
+    from .ops.pallas import adjoint
     from .ops.pallas.marshal import gather_supers_pallas
 
-    return gather_supers_pallas(x, nsup, interpret=_interpret())
+    return adjoint.linear_vjp(
+        partial(gather_supers_pallas, nsup=nsup, interpret=_interpret()),
+        partial(adjoint.xla_gather_supers, nsup=nsup),
+    )(x)
 
 
 def maybe_delayed_add(y_head, pending, out_tail, mode: str | None = None):
@@ -220,10 +246,13 @@ def maybe_delayed_add(y_head, pending, out_tail, mode: str | None = None):
         return None
     if mode != "1" and C * T < _ROT_MIN_ELEMS:
         return None
+    from .ops.pallas import adjoint
     from .ops.pallas.marshal import delayed_add_pallas
 
-    return delayed_add_pallas(y_head, pending, out_tail,
-                              interpret=_interpret())
+    return adjoint.linear_vjp(
+        partial(delayed_add_pallas, interpret=_interpret()),
+        adjoint.xla_delayed_add,
+    )(y_head, pending, out_tail)
 
 
 def maybe_rotated_mac(queue, H, slot: int, mode: str | None = None):
@@ -238,6 +267,10 @@ def maybe_rotated_mac(queue, H, slot: int, mode: str | None = None):
         return None
     if mode != "1" and (P < _ROT_MIN_PARTS or P * C * F < _ROT_MIN_ELEMS):
         return None
+    from .ops.pallas import adjoint
     from .ops.pallas.spectral_fir import rotated_mac_pallas
 
-    return rotated_mac_pallas(queue, H, slot, interpret=_interpret())
+    return adjoint.linear_vjp(
+        partial(rotated_mac_pallas, slot=slot, interpret=_interpret()),
+        partial(adjoint.xla_rotated_mac, slot=slot),
+    )(queue, H)

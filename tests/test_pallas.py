@@ -289,29 +289,30 @@ def test_auto_gates_engage_at_headline_geometry(monkeypatch):
     hits = []
     monkeypatch.setattr("bbcat_dsp_tpu.ops.pallas.fused_head."
                         "fused_head_pallas",
-                        lambda *a, **k: hits.append("fused") or "x")
+                        lambda *a, **k: hits.append("fused") or jnp.zeros(1))
     monkeypatch.setattr("bbcat_dsp_tpu.ops.pallas.spectral_fir."
                         "windowed_grouped_mac_pallas",
-                        lambda *a, **k: hits.append("grouped") or "x")
+                        lambda *a, **k: hits.append("grouped") or jnp.zeros(1))
     monkeypatch.setattr("bbcat_dsp_tpu.ops.pallas.marshal."
                         "gather_supers_pallas",
-                        lambda *a, **k: hits.append("gather") or "x")
+                        lambda *a, **k: hits.append("gather") or jnp.zeros(1))
     monkeypatch.setattr("bbcat_dsp_tpu.ops.pallas.marshal."
                         "delayed_add_pallas",
-                        lambda *a, **k: hits.append("delayed") or "x")
+                        lambda *a, **k: hits.append("delayed") or jnp.zeros(1))
 
     C, B, F = 64, 512, 513
     Pt, B2, F2 = 6, 4096, 4097
     z = jnp.zeros  # gates look at shapes only
     assert hook.maybe_fused_head(z((C, 8 * B)), z((2, 16, C, F)),
                                  z((2, C, F)), z((2, 16, C, F)), B,
-                                 mode="auto", layout="std") == "x"
+                                 mode="auto", layout="std") is not None
     assert hook.maybe_windowed_grouped_mac(
         z((2, Pt, C, F2)), z((2, Pt, C, F2)), z((2, C, F2)),
-        z((2, Pt, C, F2)), 0, mode="auto") == "x"
-    assert hook.maybe_gather_supers(z((C, Pt * B2)), Pt, mode="auto") == "x"
+        z((2, Pt, C, F2)), 0, mode="auto") is not None
+    assert hook.maybe_gather_supers(z((C, Pt * B2)), Pt,
+                                    mode="auto") is not None
     assert hook.maybe_delayed_add(z((C, Pt * B2)), z((2, C, B2)),
-                                  z((Pt, C, B2)), mode="auto") == "x"
+                                  z((Pt, C, B2)), mode="auto") is not None
     assert hits == ["fused", "grouped", "gather", "delayed"]
 
     # below the measured floor (C=32, unmeasured) the fused head stays off
