@@ -8,6 +8,7 @@ from .convolve import (
     channel_sharded_render,
     channel_sharded_nonuniform_render,
     time_sharded_render,
+    time_sharded_nonuniform_render,
 )
 from .loudness import sharded_integrated_loudness
 from .comms import (
@@ -35,5 +36,6 @@ __all__ = [
     "channel_sharded_render",
     "channel_sharded_nonuniform_render",
     "time_sharded_render",
+    "time_sharded_nonuniform_render",
     "sharded_integrated_loudness",
 ]

@@ -43,6 +43,7 @@ __all__ = [
     "channel_sharded_render",
     "channel_sharded_nonuniform_render",
     "time_sharded_render",
+    "time_sharded_nonuniform_render",
 ]
 
 
@@ -151,6 +152,120 @@ def channel_sharded_nonuniform_render(mesh: Mesh, block: int,
                             specs)
 
     return jax.jit(_render, donate_argnums=(0,))
+
+
+def time_sharded_nonuniform_render(mesh: Mesh, block: int, ratio: int,
+                                   head_parts: int, tail_parts: int,
+                                   axis_name: str = "t",
+                                   ch_axis: str | None = None,
+                                   specs: tuple | None = None):
+    """Time(+channel)-sharded offline render for the NON-UNIFORM two-level
+    engine (VERDICT r4 next #7) — the low-channel-count long-render use
+    case the channel-sharded path cannot serve.
+
+    Each device owns a contiguous span of ``T / n_t`` samples (a multiple
+    of ``tail_parts * ratio * block`` so every local stream enters the
+    grouped render with ``tail_slot0 = 0``) and receives the trailing
+    ``(tail_parts + 2) * B2`` input samples of its LEFT neighbour via ONE
+    ``ppermute`` — the overlap-save halo covering every piece of two-level
+    state:
+
+    * head ``xcarry`` (last ``head_parts`` window spectra) + ``prev`` —
+      the final ``head_parts + 1`` small blocks of the halo;
+    * tail queue (last ``tail_parts`` super-window spectra) + ``prev``;
+    * the 2-slot ``pending`` re-alignment queue — the tail outputs of the
+      two super-steps preceding the span, each a ``tail_parts``-deep MAC
+      over halo windows (this is why the halo is ``Pt + 2`` supers, not
+      ``Pt + 1``).
+
+    Returns a jitted ``(H_head, H_tail, x) -> y`` whose output matches the
+    sequential stream from zero initial state (>=110 dB; bit-comparable in
+    practice).  ``specs`` is the engine's frozen (head, tail) SpectralSpec
+    pair, as in :func:`channel_sharded_nonuniform_render`.
+    """
+    from ..convolve.nonuniform import NonUniformState, _head_mac, _render_impl
+    from ..convolve.fft import irfft_tail_planes
+
+    sh, st = specs if specs is not None else (None, None)
+    B = block
+    B2 = B * ratio
+    Pt = tail_parts
+    Ph = head_parts
+    halo_sup = Pt + 2
+    halo_len = halo_sup * B2
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, ch_axis, None), P(None, None, ch_axis, None),
+                  P(ch_axis, axis_name)),
+        out_specs=P(ch_axis, axis_name),
+        check_vma=False,
+    )
+    def _render(H_head, H_tail, x):
+        n = jax.lax.axis_size(axis_name)
+        C, T_local = x.shape
+        nsuper = T_local // B2
+        assert nsuper % Pt == 0, (
+            "per-device span must be a whole number of render groups "
+            f"(got {nsuper} supers, Pt={Pt})"
+        )
+        assert T_local >= halo_len, (
+            "per-device span must cover the (Pt+2)-super halo (one-hop "
+            f"ppermute): span {T_local} < halo {halo_len}"
+        )
+        # ---- halo: last (Pt+2) super-blocks of the LEFT neighbour
+        tail_x = x[:, -halo_len:]
+        halo = jax.lax.ppermute(
+            tail_x, axis_name, [(i, (i + 1) % n) for i in range(n)]
+        )
+        idx = jax.lax.axis_index(axis_name)
+        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+
+        # ---- tail state: half spectra of the halo supers -> windows
+        hsup = jnp.moveaxis(halo.reshape(C, halo_sup, B2), 1, 0)
+        t_half = rfft_half_planes(hsup, 2 * B2, spec=st)  # [2, Pt+2, C, F2]
+        s2 = jnp.asarray(half_window_signs(2 * B2, spec=st))
+        w = t_half[:, :-1] + s2 * t_half[:, 1:]           # [2, Pt+1, C, F2]
+        # w[i] ends at halo super i+1 (global super s0 - Pt - 1 + i);
+        # the Pt most recent (w[1:]) are the queue, chronological ==
+        # slot-encoded at slot0 = 0 (step ≡ 0 mod Pt by the span rule)
+        queue = w[:, 1:]
+        # pending[k] = tail output of super-step s0 - 2 + k (k = 0, 1):
+        # a Pt-deep sliding MAC over the halo windows, then the tail
+        # irfft.  _head_mac computes acc[i] = sum_p ext[Pt + i - p]; the
+        # windows wanted are w[Pt - 1 + i - p], so prepend one (never
+        # referenced) dummy slot to shift the indexing by one.
+        ext = jnp.concatenate([jnp.zeros_like(w[:, :1]), w], axis=1)
+        acc = _head_mac(ext, H_tail, 2, mac=st.mac if st else None)
+        pending = irfft_tail_planes(acc, 2 * B2,
+                                    spec=st).astype(x.dtype)  # [2, C, B2]
+
+        # ---- head state: window spectra of the last Ph small blocks
+        # (window at small block m covers blocks m-1, m)
+        head_x = halo[:, -(Ph + 1) * B:]
+        hb = jnp.moveaxis(head_x.reshape(C, Ph + 1, B), 1, 0)
+        h_half = rfft_half_planes(hb, 2 * B, spec=sh)     # [2, Ph+1, C, F]
+        s1 = jnp.asarray(half_window_signs(2 * B, spec=sh))
+        xcarry = h_half[:, :-1] + s1 * h_half[:, 1:]      # [2, Ph, C, F]
+        prev = h_half[:, -1]
+
+        from ..convolve.block import ConvolverState
+
+        state = NonUniformState(
+            xcarry=xcarry,
+            prev=prev,
+            tail=ConvolverState(
+                queue=queue,
+                prev=t_half[:, -1],
+                step=jnp.asarray(0, jnp.int32),
+            ),
+            pending=pending,
+        )
+        _, y = _render_impl(state, H_head, H_tail, x, B, 0, specs)
+        return y
+
+    return jax.jit(_render)
 
 
 def time_sharded_render(mesh: Mesh, block: int, nparts: int,
