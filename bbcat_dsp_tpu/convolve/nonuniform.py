@@ -39,8 +39,6 @@ from .block import (
     ConvolverState,
     _roll_slots,
     convolver_init,
-    convolver_step,
-    convolver_step_crossfade,
     partition_ir,
 )
 from .fft import (
@@ -68,7 +66,18 @@ class NonUniformState(NamedTuple):
                         # (oldest..newest along axis 1)
     prev: jax.Array     # [2, C, F] half-window spectrum of the previous
                         # small block (window assembly via shift theorem)
-    tail: ConvolverState
+    tail: ConvolverState  # TAIL-SPECIFIC queue semantics (round 5): slot
+                        # ``s`` holds the HALF-window spectrum xt of the
+                        # super-block with ``step % Pt == s`` — NOT the
+                        # assembled window the uniform engine stores.
+                        # Windows are assembled at MAC time from xt pairs
+                        # (shift theorem), which lets the grouped render
+                        # carry this group's xt forward UNTOUCHED instead
+                        # of writing back Pt assembled windows (473 MB per
+                        # group at config #5).  ``tail.prev`` keeps its
+                        # meaning: half spectrum of super ``step - 1``
+                        # (== the newest queue slot; kept for O(1) access
+                        # and checkpoint-migration anchoring).
     pending: jax.Array  # [2, C, B2] tail outputs awaiting their time slot
 
 
@@ -146,6 +155,59 @@ def _head_step(xcarry, prev, H_head, x, B: int, ratio: int,
     return y_head, xext[:, -P:], prev_xt
 
 
+def _tail_windows_from_xt(tseq: jax.Array, s: jax.Array) -> jax.Array:
+    """Window spectra from consecutive half-window spectra (shift
+    theorem): ``w[i] = tseq[i] + s * tseq[i+1]`` — ``tseq [2, K+1, C, F]``
+    -> ``w [2, K, C, F]`` (window i ends at the block of ``tseq[i+1]``)."""
+    return tseq[:, :-1] + s * tseq[:, 1:]
+
+
+def _tail_step_xt(state: ConvolverState, H, x, spec: SpectralSpec | None
+                  = None, H_old=None):
+    """Streaming tail step under the xt-slot queue layout.
+
+    The queue's Pt slots hold raw HALF-window spectra (slot = step % Pt);
+    windows assemble at MAC time from consecutive xt pairs — ~2x the
+    elementwise reads of the window-queue formulation per step, paid only
+    on the latency (per-super-step) path; the throughput path
+    (:func:`_render_group`) wins the whole queue writeback instead.
+
+    With ``H_old`` the step crossfades old -> new over the block (the
+    click-free IR-exchange contract of ``convolver_step_crossfade``)."""
+    B2 = x.shape[-1]
+    _, Pt, C, F = state.queue.shape
+    xt = rfft_half_planes(x, 2 * B2, spec=spec)          # [2, C, F]
+    s = jnp.asarray(half_window_signs(2 * B2, spec=spec))
+    # chronological half spectra t(step-Pt) .. t(step-1) from the slots
+    idx = jnp.mod(state.step + jnp.arange(Pt), Pt)
+    tpast = state.queue[:, idx]
+    tseq = jnp.concatenate([tpast, xt[:, None]], axis=1)  # t(step-Pt)..t(step)
+    w = _tail_windows_from_xt(tseq, s)                    # W(step-Pt+1)..W(step)
+    # out = sum_p W(step - p) * H[p]  ->  w index Pt-1-p
+    def mac(Hs):
+        acc_r = jnp.zeros_like(xt[0])
+        acc_i = jnp.zeros_like(xt[0])
+        for p in range(Pt):
+            vr, vi = w[0, Pt - 1 - p], w[1, Pt - 1 - p]
+            hr, hi = Hs[0, p], Hs[1, p]
+            acc_r = acc_r + (vr * hr - vi * hi)
+            acc_i = acc_i + (vr * hi + vi * hr)
+        return jnp.stack([acc_r, acc_i])
+
+    if H_old is None:
+        y = irfft_tail_planes(mac(H), 2 * B2, spec=spec).astype(x.dtype)
+    else:
+        y_old = irfft_tail_planes(mac(H_old), 2 * B2, spec=spec)
+        y_new = irfft_tail_planes(mac(H), 2 * B2, spec=spec)
+        ramp = (jnp.arange(B2, dtype=x.dtype) + 1) / B2
+        y = ((1 - ramp) * y_old + ramp * y_new).astype(x.dtype)
+    slot = jnp.mod(state.step, Pt)
+    queue = jax.lax.dynamic_update_slice(
+        state.queue, xt[:, None].astype(state.queue.dtype), (0, slot, 0, 0)
+    )
+    return ConvolverState(queue, xt, state.step + 1), y
+
+
 @partial(jax.jit, static_argnames=("block", "specs"))
 def _super_step(state: NonUniformState, H_head, H_tail, x, block: int,
                 specs: Specs | None = None):
@@ -156,7 +218,7 @@ def _super_step(state: NonUniformState, H_head, H_tail, x, block: int,
         state.xcarry, state.prev, H_head, x, block, ratio, sh
     )
     y = y_head + state.pending[0]
-    tail, out_tail = convolver_step(state.tail, H_tail, x, spec=st)
+    tail, out_tail = _tail_step_xt(state.tail, H_tail, x, spec=st)
     pending = jnp.stack([state.pending[1], out_tail])
     return NonUniformState(xcarry, prev, tail, pending), y
 
@@ -185,9 +247,8 @@ def _super_step_crossfade(
     y_head = jnp.moveaxis(y2, 0, 1).reshape(C, ratio * B)
 
     y = y_head + state.pending[0]
-    tail, out_tail = convolver_step_crossfade(
-        state.tail, H_tail, H_tail_new, x, spec=st
-    )
+    tail, out_tail = _tail_step_xt(state.tail, H_tail_new, x, spec=st,
+                                   H_old=H_tail)
     pending = jnp.stack([state.pending[1], out_tail])
     P = H_head.shape[1]
     return (
@@ -287,46 +348,46 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
             y_heads.append(yh)
         y_head = jnp.concatenate(y_heads, axis=-1)       # [C, Pt*B2]
 
-    # ---- tail: one batched window transform + chunked batched MAC
+    # ---- tail: one batched half transform + whole-group windowed MAC.
+    # The queue's slots hold RAW half-window spectra (xt); windows
+    # assemble inside the MAC from consecutive xt pairs, and the new
+    # carry is THIS group's xt — for the group-aligned stream
+    # (tail_slot0 == 0, every render) the carry is the rfft output
+    # UNTOUCHED: the 473 MB/group assembled-window writeback of the
+    # round-4 formulation is gone (STATUS.md r4 "Known residuals").
+    # Each group advances the step by exactly Pt, so step % Pt is
+    # invariant across the group scan and a host-known tail_slot0 keeps
+    # every queue access a static roll / in-kernel static index.
     from ..ops_pallas_hook import maybe_gather_supers
 
     xsup = maybe_gather_supers(xg, Pt, mode=st.mac if st else None)
     if xsup is None:  # XLA fallback: relayout + transpose copies
         xsup = jnp.moveaxis(xg.reshape(C, Pt, B2), 1, 0)  # [Pt, C, B2]
     xt = rfft_half_planes(xsup, 2 * B2, spec=st)         # [2, Pt, C, F2]
-    # past Pt window spectra, oldest..newest.  Each group advances the
-    # step by exactly Pt, so step % Pt is INVARIANT across the group scan:
-    # a host-known tail_slot0 lets the window assembly, the whole group
-    # MAC and the queue writeback run as ONE Pallas kernel that reads
-    # queue/xt/H_tail from HBM exactly once — the materialised [prev|xt]
-    # concat, multiply-subtract window pass, [past|new] concat and sliding
-    # hist slices it replaces dominated the pod-config render (~0.5 GB
-    # queue at config #5).  Fallbacks: static rolls (host-known cursor,
-    # kernel gated off) or traced-index permutations (traced cursor).
-    new_queue = None
     acc = None
     if tail_slot0 is not None:
-        from ..ops_pallas_hook import maybe_windowed_grouped_mac
+        from ..ops_pallas_hook import maybe_xt_grouped_mac
         from .fft import half_sign_section, half_sign_tail
 
-        grouped = maybe_windowed_grouped_mac(
+        acc = maybe_xt_grouped_mac(
             default_layout(state.tail.queue), default_layout(xt),
-            state.tail.prev, default_layout(H_tail), tail_slot0,
+            default_layout(H_tail), tail_slot0,
             sign_section=half_sign_section(2 * B2, spec=st),
             sign_tail=half_sign_tail(2 * B2, spec=st),
             mode=st.mac if st else None)
-        if grouped is not None:
-            acc, new_queue = grouped
     if acc is None:
         s2 = jnp.asarray(half_window_signs(2 * B2, spec=st))
-        extw = jnp.concatenate([state.tail.prev[:, None], xt], axis=1)
-        Xw = extw[:, :-1] + s2 * extw[:, 1:]             # [2, Pt, C, F2]
         if tail_slot0 is not None:
-            past = _roll_slots(state.tail.queue, tail_slot0)
+            tpast = _roll_slots(state.tail.queue, tail_slot0)
         else:
             idx = jnp.mod(state.tail.step + jnp.arange(Pt), Pt)
-            past = state.tail.queue[:, idx]
-        Xext = jnp.concatenate([past, Xw], axis=1)       # [2, 2Pt, C, F2]
+            tpast = state.tail.queue[:, idx]
+        tseq = jnp.concatenate([tpast, xt], axis=1)      # [2, 2Pt, C, F2]
+        w = _tail_windows_from_xt(tseq, s2)              # [2, 2Pt-1, C, F2]
+        # out(j) = sum_p w[Pt-1+j-p] * H[p]; _head_mac's contract is
+        # acc[i] = sum_p ext[Pt+i-p], so prepend one never-referenced
+        # dummy slot to shift the window indexing by one
+        Xext = jnp.concatenate([jnp.zeros_like(w[:, :1]), w], axis=1)
         tc = _choose_chunk(Pt, 7 if C >= 512 else Pt)
         accs = []
         for j0 in range(0, Pt, tc):
@@ -352,17 +413,17 @@ def _render_group(state: NonUniformState, xg, H_head, H_tail, block: int,
         y = y_head + jnp.moveaxis(delayed[:Pt], 0, 1).reshape(C, Pt * B2)
         pending = delayed[Pt:Pt + 2]
 
-    # ---- queue writeback: every slot is overwritten exactly once per
-    # group; slot s holds the window written at step' - Pt + ((s-step)%Pt)
-    if new_queue is not None:  # produced inside the grouped kernel
-        queue = new_queue.astype(state.tail.queue.dtype)
-    elif tail_slot0 is not None:
+    # ---- queue carry: the new queue IS this group's xt, slot-encoded.
+    # Group-aligned streams (tail_slot0 == 0 — every whole-signal render)
+    # hit the roll's identity fast path: the carry aliases the rfft
+    # output and nothing is written back at all.
+    if tail_slot0 is not None:
         queue = _roll_slots(
-            Xw, (Pt - tail_slot0) % Pt
+            xt, (Pt - tail_slot0) % Pt
         ).astype(state.tail.queue.dtype)
     else:
         perm = jnp.mod(jnp.arange(Pt) - state.tail.step, Pt)
-        queue = Xw[:, perm].astype(state.tail.queue.dtype)
+        queue = xt[:, perm].astype(state.tail.queue.dtype)
     tail = ConvolverState(queue, xt[:, -1], state.tail.step + Pt)
     return NonUniformState(xcarry, prev, tail, pending), y
 
@@ -739,14 +800,14 @@ class NonUniformConvolver:
         self._sb_fill += 1
         if self._sb_fill == self.ratio:
             if self._tail_swap is not None:
-                tail, out_tail = convolver_step_crossfade(
-                    st.tail, self.H_tail, self._tail_swap, self._sb_buf,
-                    spec=self.spec_tail
+                tail, out_tail = _tail_step_xt(
+                    st.tail, self._tail_swap, self._sb_buf,
+                    spec=self.spec_tail, H_old=self.H_tail
                 )
                 self.H_tail = self._tail_swap
                 self._tail_swap = None
             else:
-                tail, out_tail = convolver_step(
+                tail, out_tail = _tail_step_xt(
                     st.tail, self.H_tail, self._sb_buf, spec=self.spec_tail
                 )
             pending = jnp.stack([st.pending[1], out_tail])

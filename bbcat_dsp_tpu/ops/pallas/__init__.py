@@ -4,7 +4,7 @@ from .perm_fft import perm_irfft_tail_pallas, perm_rfft_half_pallas
 from .spectral_fir import (
     head_mac_tiled_pallas,
     rotated_mac_pallas,
-    windowed_grouped_mac_pallas,
+    xt_grouped_mac_pallas,
 )
 from .spectral_mac import head_mac_pallas, pallas_mac_enabled
 
@@ -15,5 +15,5 @@ __all__ = [
     "perm_irfft_tail_pallas",
     "perm_rfft_half_pallas",
     "rotated_mac_pallas",
-    "windowed_grouped_mac_pallas",
+    "xt_grouped_mac_pallas",
 ]

@@ -41,7 +41,7 @@ __all__ = [
     "linear_vjp",
     "xla_rotated_mac",
     "xla_head_mac",
-    "xla_windowed_grouped_mac",
+    "xla_xt_grouped_mac",
     "xla_fused_head",
     "xla_gather_supers",
     "xla_delayed_add",
@@ -118,20 +118,18 @@ def _wgrouped_signs(F: int, sec: int, tail: int, dtype):
         dtype)
 
 
-def xla_windowed_grouped_mac(queue, xt, prev, H, slot0: int, sec: int,
-                             tail: int):
-    """Reference for ``windowed_grouped_mac_pallas`` (window assembly +
-    whole-group MAC + rolled queue writeback)."""
+def xla_xt_grouped_mac(queue, xt, H, slot0: int, sec: int, tail: int):
+    """Reference for ``xt_grouped_mac_pallas`` (window assembly from raw
+    half spectra + whole-group MAC; no writeback — the caller carries
+    ``xt`` forward itself)."""
     P = H.shape[1]
     F = H.shape[-1]
     s = _wgrouped_signs(F, sec, tail, xt.dtype)
-    ext = jnp.concatenate([prev[:, None], xt], axis=1)
-    Xw = ext[:, :-1] + s * ext[:, 1:]                    # [2, P, C, F]
-    past = jnp.roll(queue, -slot0, axis=1)               # chronological
-    V = jnp.concatenate([past, Xw], axis=1)              # [2, 2P, C, F]
-    out = _cplane_mac(V, H, P)
-    q2 = jnp.roll(Xw, slot0, axis=1)                     # slot-encoded
-    return out, q2
+    tpast = jnp.roll(queue, -slot0, axis=1)              # chronological
+    tseq = jnp.concatenate([tpast, xt], axis=1)          # [2, 2P, C, F]
+    w = tseq[:, :-1] + s * tseq[:, 1:]                   # [2, 2P-1, C, F]
+    ext = jnp.concatenate([jnp.zeros_like(w[:, :1]), w], axis=1)
+    return _cplane_mac(ext, H, P)
 
 
 def xla_fused_head(x, xcarry, prev, H, block: int):

@@ -30,10 +30,10 @@ minimum for the op):
     a dynamic slice on the leading partition axis, and H streams one
     partition at a time.
 
-``windowed_grouped_mac_pallas``
+``xt_grouped_mac_pallas``
     The whole-render-group tail engine: shift-theorem window assembly from
-    raw half-spectra, all P overlap-save MAC outputs and the slot-encoded
-    queue writeback in one pass (see its docstring).
+    raw half-spectra (the xt-slot queue layout) and all P overlap-save MAC
+    outputs in one pass, with NO queue writeback (see its docstring).
 
 Numerics: float32, same p-accumulation order as the XLA path (any residual
 difference is FMA contraction inside a product term, ~1 ulp).
@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "rotated_mac_pallas",
     "head_mac_tiled_pallas",
-    "windowed_grouped_mac_pallas",
+    "xt_grouped_mac_pallas",
 ]
 
 
@@ -122,42 +122,41 @@ def rotated_mac_pallas(
     )(queue, H)
 
 
-def _wgrouped_kernel(nparts: int, slot0: int, sec: int, tail: int, ft: int,
-                     q_ref, xt_ref, pv_ref, h_ref,
-                     o_ref, q2_ref, xw_ref):
+def _xtgrouped_kernel(nparts: int, slot0: int, sec: int, tail: int, ft: int,
+                      q_ref, xt_ref, h_ref, o_ref, xw_ref):
     P = nparts
-    # ---- window assembly into VMEM scratch (once per tile):
-    # Xw[j] = xt[j-1] + s[k] xt[j], with xt[-1] = prev.  The shift-theorem
-    # sign is (-1)^k in the STANDARD bin order (sec == 1) and constant per
-    # k2 section of length ``sec`` in the permuted layout — both are
-    # (-1)^(bin // sec) over the GLOBAL bin index (tile start f0 = i*ft) —
-    # except over the permuted layout's Nyquist TAIL (bins >= ``tail``),
-    # where the sign alternates per element: (-1)^(bin - tail).
+    # ---- window assembly into VMEM scratch (once per tile): the 2P half
+    # spectra [queue (slot-rotated) | xt] give the 2P-1 windows
+    # w[k] = t[k] + s t[k+1] (shift theorem).  The sign is (-1)^bin in the
+    # STANDARD bin order (sec == 1) and constant per k2 section of length
+    # ``sec`` in the permuted layout — both are (-1)^(bin // sec) over the
+    # GLOBAL bin index (tile start f0 = i*ft) — except over the permuted
+    # layout's Nyquist TAIL (bins >= ``tail``), where the sign alternates
+    # per element: (-1)^(bin - tail).
     shp = xt_ref.shape[-2:]
     f0 = pl.program_id(1) * ft
     gbin = f0 + jax.lax.broadcasted_iota(jnp.int32, shp, 1)
     exp = jnp.where(gbin < tail, gbin // sec, gbin - tail)
     s = (1 - 2 * (exp % 2)).astype(xt_ref.dtype)
-    for j in range(P):
-        if j == 0:
-            pr, pi = pv_ref[0], pv_ref[1]
-        else:
-            pr, pi = xt_ref[0, j - 1], xt_ref[1, j - 1]
-        xw_ref[0, j] = pr + s * xt_ref[0, j]
-        xw_ref[1, j] = pi + s * xt_ref[1, j]
-    # ---- P^2 MAC over [past | windows]
+
+    def t(i):  # chronological half spectrum i (0 .. 2P-1)
+        if i < P:
+            k = (slot0 + i) % P
+            return q_ref[0, k], q_ref[1, k]
+        return xt_ref[0, i - P], xt_ref[1, i - P]
+
+    for k in range(2 * P - 1):
+        ar, ai = t(k)
+        br, bi = t(k + 1)
+        xw_ref[0, k] = ar + s * br
+        xw_ref[1, k] = ai + s * bi
+    # ---- P^2 MAC: out[j] = sum_p w[P-1+j-p] * H[p]
     for j in range(P):
         acc_r = None
         acc_i = None
         for p in range(P):
-            d = j - p
-            if d >= 0:  # window assembled this group
-                vr = xw_ref[0, d]
-                vi = xw_ref[1, d]
-            else:  # past window, slot-encoded in the queue
-                k = (slot0 + P + d) % P
-                vr = q_ref[0, k]
-                vi = q_ref[1, k]
+            vr = xw_ref[0, P - 1 + j - p]
+            vi = xw_ref[1, P - 1 + j - p]
             hr = h_ref[0, p]
             hi = h_ref[1, p]
             tr = vr * hr - vi * hi
@@ -166,19 +165,14 @@ def _wgrouped_kernel(nparts: int, slot0: int, sec: int, tail: int, ft: int,
             acc_i = ti if acc_i is None else acc_i + ti
         o_ref[0, j] = acc_r
         o_ref[1, j] = acc_i
-    # ---- rolled writeback: slot s <- window of group step (s-slot0)%P
-    for sl in range(P):
-        q2_ref[0, sl] = xw_ref[0, (sl - slot0) % P]
-        q2_ref[1, sl] = xw_ref[1, (sl - slot0) % P]
 
 
 @partial(jax.jit, inline=True,
          static_argnames=("slot0", "sign_section", "sign_tail", "ct", "ft",
                           "interpret"))
-def windowed_grouped_mac_pallas(
+def xt_grouped_mac_pallas(
     queue: jax.Array,
     xt: jax.Array,
-    prev: jax.Array,
     H: jax.Array,
     slot0: int,
     sign_section: int = 1,
@@ -187,32 +181,32 @@ def windowed_grouped_mac_pallas(
     ft: int | None = None,
     interpret: bool = False,
 ):
-    """Window assembly + all-P-outputs overlap-save MAC + queue writeback
-    for a whole render group, in ONE kernel.
+    """Whole-render-group tail MAC over the xt-slot queue layout: window
+    assembly from raw half spectra + all P overlap-save outputs, NO
+    writeback (the caller's new carry is ``xt`` itself).
 
-    ``queue [2, P, C, F]`` (slot-encoded past windows), ``xt [2, P, C, F]``
-    (this group's HALF-window spectra, chronological), ``prev [2, C, F]``
-    (previous half-window spectrum), ``H [2, P, C, F]`` ->
+    ``queue [2, P, C, F]`` (slot-encoded past HALF-window spectra),
+    ``xt [2, P, C, F]`` (this group's half spectra, chronological),
+    ``H [2, P, C, F]`` ->
 
-        Xw[j]   = xt[j-1] + (-1)^k xt[j]     (xt[-1] = prev)
-        out[j]  = sum_p V[P+j-p] * H[p]      (V = [past | Xw])
-        queue'  = Xw rolled into slot encoding
+        t       = [queue rotated by slot0 | xt]          (2P half spectra)
+        w[k]    = t[k] + (-1)^bin t[k+1]                 (2P-1 windows)
+        out[j]  = sum_p w[P-1+j-p] * H[p]
 
     One grid step owns one ``(ct, ft)`` channel-frequency tile: queue, xt
-    and H are each read from HBM exactly ONCE, windows are assembled into
-    VMEM scratch, the full static P^2 MAC accumulates in VMEM and
-    out/queue' are written once — the materialised [prev|xt] concat, the
-    multiply-subtract window pass, the [past|new] concat and the sliding
-    hist slices of the XLA formulation (~13 GB at the pod config) all
-    disappear."""
+    and H are each read from HBM exactly ONCE and only the accumulator is
+    written — vs the round-4 windowed kernel this also drops the P-deep
+    assembled-window queue writeback (473 MB/group at the pod config),
+    the last structural saving STATUS.md r4 identified."""
     _, P, C, F = H.shape
     if sign_tail is None:
         sign_tail = F  # no alternating tail (standard layout)
     if ct is None:
         ct = 8 if C % 8 == 0 else C
     if ft is None:
-        # 6 resident [2, P, ct, ft] slabs (q, xt, h, out, q2, scratch) —
-        # in/outs double-buffered by the pipeline; keep under ~12 MB VMEM.
+        # resident slabs per (ct, ft) tile: q + xt + h + out (P-deep) and
+        # the (2P-1)-deep window scratch ~ 6 P-deep slabs; in/outs
+        # double-buffered by the pipeline; keep under ~12 MB VMEM.
         per_lane = 6 * 2 * P * ct * 4
         cap = max(128, ((5 << 20) // per_lane) // 128 * 128)
         best = None
@@ -226,26 +220,15 @@ def windowed_grouped_mac_pallas(
     spec = pl.BlockSpec(
         (2, P, ct, ft), lambda c, f: (0, 0, c, f), memory_space=pltpu.VMEM
     )
-    pspec = pl.BlockSpec(
-        (2, ct, ft), lambda c, f: (0, c, f), memory_space=pltpu.VMEM
-    )
     return pl.pallas_call(
-        partial(_wgrouped_kernel, P, slot0, sign_section, sign_tail, ft),
+        partial(_xtgrouped_kernel, P, slot0, sign_section, sign_tail, ft),
         grid=(C // ct, nf),
-        in_specs=[spec, spec, pspec, spec],
-        out_specs=[spec, spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((2, P, C, F), jnp.float32),
-            jax.ShapeDtypeStruct((2, P, C, F), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((2, P, ct, ft), jnp.float32)],
-        # the queue is rewritten IN PLACE: q2 depends only on the xw
-        # scratch (never on q_ref) and each grid step owns its own (c, f)
-        # tile, so aliasing is race-free — and the render-level donation
-        # no longer needs a full-queue protect copy (~1.4 ms at config #5)
-        input_output_aliases={0: 1},
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((2, P, C, F), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 2 * P - 1, ct, ft), jnp.float32)],
         interpret=interpret,
-    )(queue, xt, prev, H)
+    )(queue, xt, H)
 
 
 def _head_kernel(nparts: int, ratio: int, x_ref, h_ref, o_ref):

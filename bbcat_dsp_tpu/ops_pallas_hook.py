@@ -103,13 +103,13 @@ def maybe_fused_head(x, xcarry, prev, H, block: int,
     )(x, xcarry, prev, H)
 
 
-def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int,
-                               sign_section: int = 1,
-                               sign_tail: int | None = None,
-                               mode: str | None = None):
-    """Window assembly + whole-group tail MAC + rolled queue writeback in
-    one kernel (render path with a host-known cursor): ``None`` -> caller
-    runs the XLA window-assembly + roll/concat/slide formulation.
+def maybe_xt_grouped_mac(queue, xt, H, slot0: int,
+                         sign_section: int = 1,
+                         sign_tail: int | None = None,
+                         mode: str | None = None):
+    """Whole-group tail MAC over the xt-slot queue layout (window assembly
+    from raw half spectra in-kernel, NO queue writeback): ``None`` ->
+    caller runs the XLA roll/concat/window/slide formulation.
     ``sign_section``/``sign_tail`` describe the shift signs of the
     caller's spectral layout (``fft.half_sign_section`` /
     ``fft.half_sign_tail``)."""
@@ -123,16 +123,16 @@ def maybe_windowed_grouped_mac(queue, xt, prev, H, slot0: int,
     if mode != "1" and (P < 2 or P * C * F < _ROT_MIN_ELEMS):
         return None
     from .ops.pallas import adjoint
-    from .ops.pallas.spectral_fir import windowed_grouped_mac_pallas
+    from .ops.pallas.spectral_fir import xt_grouped_mac_pallas
 
     tail_ix = F if sign_tail is None else sign_tail
     return adjoint.linear_vjp(
-        partial(windowed_grouped_mac_pallas, slot0=slot0,
+        partial(xt_grouped_mac_pallas, slot0=slot0,
                 sign_section=sign_section, sign_tail=sign_tail,
                 interpret=_interpret()),
-        partial(adjoint.xla_windowed_grouped_mac, slot0=slot0,
+        partial(adjoint.xla_xt_grouped_mac, slot0=slot0,
                 sec=sign_section, tail=tail_ix),
-    )(queue, xt, prev, H)
+    )(queue, xt, H)
 
 
 def _permfft_mode(spec=None) -> str | None:

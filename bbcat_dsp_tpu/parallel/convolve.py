@@ -222,15 +222,15 @@ def time_sharded_nonuniform_render(mesh: Mesh, block: int, ratio: int,
         idx = jax.lax.axis_index(axis_name)
         halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
 
-        # ---- tail state: half spectra of the halo supers -> windows
+        # ---- tail state: half spectra of the halo supers.  The tail
+        # queue holds RAW half spectra (xt-slot layout): the last Pt halo
+        # supers' spectra, chronological == slot-encoded at slot0 = 0
+        # (step ≡ 0 mod Pt by the span rule).
         hsup = jnp.moveaxis(halo.reshape(C, halo_sup, B2), 1, 0)
         t_half = rfft_half_planes(hsup, 2 * B2, spec=st)  # [2, Pt+2, C, F2]
         s2 = jnp.asarray(half_window_signs(2 * B2, spec=st))
         w = t_half[:, :-1] + s2 * t_half[:, 1:]           # [2, Pt+1, C, F2]
-        # w[i] ends at halo super i+1 (global super s0 - Pt - 1 + i);
-        # the Pt most recent (w[1:]) are the queue, chronological ==
-        # slot-encoded at slot0 = 0 (step ≡ 0 mod Pt by the span rule)
-        queue = w[:, 1:]
+        queue = t_half[:, 2:]
         # pending[k] = tail output of super-step s0 - 2 + k (k = 0, 1):
         # a Pt-deep sliding MAC over the halo windows, then the tail
         # irfft.  _head_mac computes acc[i] = sum_p ext[Pt + i - p]; the

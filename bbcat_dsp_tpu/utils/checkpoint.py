@@ -47,7 +47,14 @@ __all__ = ["save_state", "load_state"]
 #    ("order 2" — fft.py layout derivation); format <= 2 perm leaves are
 #    in the legacy order and are auto-reordered on load (power-of-two FFT
 #    sizes; otherwise convert manually with fft.convert_perm_order).
-_FORMAT = 3
+# 4: the NON-UNIFORM engine's tail queue switched from assembled WINDOW
+#    spectra to raw HALF-window spectra (the xt-slot layout — lets the
+#    grouped render carry this group's transform output forward untouched
+#    instead of writing Pt assembled windows back; nonuniform.py).
+#    Format <= 3 NonUniformState blobs are converted on load: the window
+#    recursion W(j) = t(j-1) + s t(j) inverts exactly (s = +-1 per bin,
+#    anchored at t(step-1) = tail.prev, whose meaning is unchanged).
+_FORMAT = 4
 
 
 def _writer_meta() -> dict:
@@ -219,6 +226,81 @@ def _try_bankstate_migration(host_leaves: list, like):
     return old + [np.zeros_like(targets), np.zeros_like(origins)]
 
 
+def _tail_signs(F: int, meta: dict | None) -> np.ndarray | None:
+    """Shift-theorem sign vector for a tail spectral leaf with ``F`` bins,
+    layout inferred from the bin count (std F is odd: n/2 + 1 with n a
+    power of two; perm F is even: n/2 + r)."""
+    from ..convolve import fft
+
+    if F % 2:  # standard layout
+        n = 2 * (F - 1)
+        if n & (n - 1):
+            return None
+        return (1.0 - 2.0 * (np.arange(F) % 2)).astype(np.float32)
+    for r in _candidate_radices(meta):
+        n = _perm_n_from_bins(F, r)
+        if (n and n & (n - 1) == 0 and n > fft._MAX_DIRECT
+                and n % (2 * r) == 0 and (n // r) % 2 == 0
+                and n // r <= 2048):
+            sec = n // r // 2
+            tail = r * sec
+            f = np.arange(F)
+            exp = np.where(f < tail, f // sec, f - tail)
+            return (1.0 - 2.0 * (exp % 2)).astype(np.float32)
+    return None
+
+
+def _convert_tail_windows_to_xt(tail, meta: dict | None):
+    """Format <= 3 -> 4: invert the tail queue's assembled windows back to
+    raw half-window spectra (exact; see the _FORMAT note)."""
+    W = np.asarray(tail.queue)
+    prev = np.asarray(tail.prev)
+    step = int(np.asarray(tail.step))
+    _, Pt, _, F = W.shape
+    s = _tail_signs(F, meta)
+    if s is None:
+        import warnings
+
+        warnings.warn(
+            f"cannot infer the spectral layout of a [.., {F}]-bin tail "
+            "queue; leaving the leaf unconverted — re-save from a current "
+            "build", RuntimeWarning, stacklevel=3)
+        return tail
+    order = (step + np.arange(Pt)) % Pt
+    Wc = W[:, order]                       # chronological windows
+    tc = [None] * Pt                       # tc[i] = t(step - Pt + i)
+    tc[Pt - 1] = prev.astype(np.float64)
+    for i in range(Pt - 1, 0, -1):
+        tc[i - 1] = Wc[:, i].astype(np.float64) - s * tc[i]
+    new_q = np.empty_like(W)
+    for i in range(Pt):
+        new_q[:, (step + i) % Pt] = tc[i].astype(W.dtype)
+    return tail._replace(queue=jax.numpy.asarray(new_q))
+
+
+def _migrate_nonuniform_v3(tree, meta: dict | None):
+    """Walk a restored pytree converting every NonUniformState tail from
+    the window-queue to the xt-slot layout (format <= 3 blobs)."""
+    try:
+        from ..convolve.nonuniform import NonUniformState
+    except Exception:  # pragma: no cover - convolve always importable
+        return tree
+
+    def walk(node):
+        if isinstance(node, NonUniformState):
+            return node._replace(
+                tail=_convert_tail_windows_to_xt(node.tail, meta))
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*[walk(x) for x in node])
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(x) for x in node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(tree)
+
+
 def load_state(path: str, like=None, migrate_layout: bool = True):
     """Restore a state pytree saved with :func:`save_state`.
 
@@ -262,7 +344,13 @@ def load_state(path: str, like=None, migrate_layout: bool = True):
                 if conv is not None:
                     got = conv
             out.append(jax.numpy.asarray(got))
-        return jax.tree.unflatten(treedef, out)
-    return jax.tree.unflatten(
+        tree = jax.tree.unflatten(treedef, out)
+        if migrate_layout and (meta or {}).get("format", 1) < 4:
+            tree = _migrate_nonuniform_v3(tree, meta)
+        return tree
+    tree = jax.tree.unflatten(
         blob["treedef"], [jax.numpy.asarray(x) for x in host_leaves]
     )
+    if migrate_layout and (meta or {}).get("format", 1) < 4:
+        tree = _migrate_nonuniform_v3(tree, meta)
+    return tree

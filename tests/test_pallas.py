@@ -53,34 +53,31 @@ def test_head_mac_tiled_pallas_matches_xla(rng):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
-def test_windowed_grouped_mac_pallas_matches_reference(rng):
-    """Whole-group windowed MAC kernel == the overlap-save definition:
-    Xw[j] = xt[j-1] + (-1)^k xt[j] (xt[-1]=prev), out[j] =
-    sum_p V[P+j-p]*H[p] over V=[past|Xw], for every cursor, and the queue
-    writeback re-encodes the assembled windows into slots."""
-    from bbcat_dsp_tpu.ops.pallas import windowed_grouped_mac_pallas
+def test_xt_grouped_mac_pallas_matches_reference(rng):
+    """Whole-group xt-layout MAC kernel == the overlap-save definition:
+    half spectra t = [queue rotated by slot0 | xt], windows
+    w[k] = t[k] + (-1)^bin t[k+1], out[j] = sum_p w[P-1+j-p]*H[p], for
+    every cursor.  No writeback output — the caller carries xt itself."""
+    from bbcat_dsp_tpu.ops.pallas import xt_grouped_mac_pallas
 
     P, C, F = 5, 16, 65
     signs = (-1.0) ** np.arange(F)
     for slot0 in range(P):
         q = rng.standard_normal((2, P, C, F)).astype(np.float32)
         xt = rng.standard_normal((2, P, C, F)).astype(np.float32)
-        pv = rng.standard_normal((2, C, F)).astype(np.float32)
         h = rng.standard_normal((2, P, C, F)).astype(np.float32)
-        out, q2 = windowed_grouped_mac_pallas(
-            jnp.asarray(q), jnp.asarray(xt), jnp.asarray(pv),
-            jnp.asarray(h), slot0, interpret=True)
-        ext = np.concatenate([pv[:, None], xt], axis=1)
-        xw = (ext[:, :-1] + signs * ext[:, 1:]).astype(np.float32)
-        past = q[:, (np.arange(P) + slot0) % P]
-        V = np.concatenate([past, xw], axis=1)
-        Vc, Hc = V[0] + 1j * V[1], h[0] + 1j * h[1]
+        out = xt_grouped_mac_pallas(
+            jnp.asarray(q), jnp.asarray(xt), jnp.asarray(h), slot0,
+            interpret=True)
+        tpast = q[:, (np.arange(P) + slot0) % P]
+        tseq = np.concatenate([tpast, xt], axis=1)
+        w = (tseq[:, :-1] + signs * tseq[:, 1:]).astype(np.float32)
+        Wc, Hc = w[0] + 1j * w[1], h[0] + 1j * h[1]
         ref = np.stack([
-            sum(Vc[P + j - p] * Hc[p] for p in range(P)) for j in range(P)])
+            sum(Wc[P - 1 + j - p] * Hc[p] for p in range(P))
+            for j in range(P)])
         got = np.asarray(out)[0] + 1j * np.asarray(out)[1]
         np.testing.assert_allclose(got, ref, atol=2e-5)
-        np.testing.assert_allclose(
-            np.asarray(q2), xw[:, (np.arange(P) - slot0) % P], atol=2e-6)
 
 
 def test_fused_head_pallas_matches_unfused(rng):
@@ -159,10 +156,10 @@ def test_fused_head_pallas_matches_unfused(rng):
         jax.clear_caches()
 
 
-def test_windowed_grouped_mac_hook_integration(rng, monkeypatch):
+def test_xt_grouped_mac_hook_integration(rng, monkeypatch):
     """The multichannel render path routes its tail group (window assembly
-    + MAC + writeback) through the windowed kernel under
-    BBCAT_DSP_PALLAS_MAC=1, result unchanged."""
+    + MAC) through the xt-layout kernel under BBCAT_DSP_PALLAS_MAC=1,
+    result unchanged."""
     import jax
     import bbcat_dsp_tpu.ops_pallas_hook as hook
     from bbcat_dsp_tpu.convolve import NonUniformConvolver
@@ -178,15 +175,15 @@ def test_windowed_grouped_mac_hook_integration(rng, monkeypatch):
     y_ref = np.asarray(a.process(jnp.asarray(x)))
 
     calls = {"n": 0}
-    real = hook.maybe_windowed_grouped_mac
+    real = hook.maybe_xt_grouped_mac
 
-    def counting(queue, xt, prev, H, slot0, **kw):
-        r = real(queue, xt, prev, H, slot0, **kw)
+    def counting(queue, xt, H, slot0, **kw):
+        r = real(queue, xt, H, slot0, **kw)
         if r is not None:
             calls["n"] += 1
         return r
 
-    monkeypatch.setattr(hook, "maybe_windowed_grouped_mac", counting)
+    monkeypatch.setattr(hook, "maybe_xt_grouped_mac", counting)
     monkeypatch.setenv("BBCAT_DSP_PALLAS_MAC", "1")
     jax.clear_caches()
     b = NonUniformConvolver(ir, block=B, ratio=ratio)
@@ -291,7 +288,7 @@ def test_auto_gates_engage_at_headline_geometry(monkeypatch):
                         "fused_head_pallas",
                         lambda *a, **k: hits.append("fused") or jnp.zeros(1))
     monkeypatch.setattr("bbcat_dsp_tpu.ops.pallas.spectral_fir."
-                        "windowed_grouped_mac_pallas",
+                        "xt_grouped_mac_pallas",
                         lambda *a, **k: hits.append("grouped") or jnp.zeros(1))
     monkeypatch.setattr("bbcat_dsp_tpu.ops.pallas.marshal."
                         "gather_supers_pallas",
@@ -306,8 +303,8 @@ def test_auto_gates_engage_at_headline_geometry(monkeypatch):
     assert hook.maybe_fused_head(z((C, 8 * B)), z((2, 16, C, F)),
                                  z((2, C, F)), z((2, 16, C, F)), B,
                                  mode="auto", layout="std") is not None
-    assert hook.maybe_windowed_grouped_mac(
-        z((2, Pt, C, F2)), z((2, Pt, C, F2)), z((2, C, F2)),
+    assert hook.maybe_xt_grouped_mac(
+        z((2, Pt, C, F2)), z((2, Pt, C, F2)),
         z((2, Pt, C, F2)), 0, mode="auto") is not None
     assert hook.maybe_gather_supers(z((C, Pt * B2)), Pt,
                                     mode="auto") is not None

@@ -366,9 +366,9 @@ def test_all_kernels_forced_end_to_end(rng, force_dftmm, monkeypatch, radix):
 
 
 def test_grouped_mac_kernel_perm_signs(rng):
-    """The windowed grouped MAC kernel with a sectioned sign pattern
+    """The xt-layout grouped MAC kernel with a sectioned sign pattern
     (permuted layout) matches the plain-python reference."""
-    from bbcat_dsp_tpu.ops.pallas import windowed_grouped_mac_pallas
+    from bbcat_dsp_tpu.ops.pallas import xt_grouped_mac_pallas
 
     P, C = 3, 16
     sec = 129  # pretend n1/2+1 = 129, radix 4 worth of sections
@@ -376,23 +376,19 @@ def test_grouped_mac_kernel_perm_signs(rng):
     signs = (1.0 - 2.0 * ((np.arange(Fbins) // sec) % 2)).astype(np.float32)
     q = rng.standard_normal((2, P, C, Fbins)).astype(np.float32)
     xt = rng.standard_normal((2, P, C, Fbins)).astype(np.float32)
-    pv = rng.standard_normal((2, C, Fbins)).astype(np.float32)
     h = rng.standard_normal((2, P, C, Fbins)).astype(np.float32)
     slot0 = 1
-    out, q2 = windowed_grouped_mac_pallas(
-        jnp.asarray(q), jnp.asarray(xt), jnp.asarray(pv), jnp.asarray(h),
+    out = xt_grouped_mac_pallas(
+        jnp.asarray(q), jnp.asarray(xt), jnp.asarray(h),
         slot0, sign_section=sec, interpret=True)
-    ext = np.concatenate([pv[:, None], xt], axis=1)
-    xw = (ext[:, :-1] + signs * ext[:, 1:]).astype(np.float32)
-    past = q[:, (np.arange(P) + slot0) % P]
-    V = np.concatenate([past, xw], axis=1)
-    Vc, Hc = V[0] + 1j * V[1], h[0] + 1j * h[1]
+    tpast = q[:, (np.arange(P) + slot0) % P]
+    tseq = np.concatenate([tpast, xt], axis=1)
+    w = (tseq[:, :-1] + signs * tseq[:, 1:]).astype(np.float32)
+    Wc, Hc = w[0] + 1j * w[1], h[0] + 1j * h[1]
     ref = np.stack([
-        sum(Vc[P + j - p] * Hc[p] for p in range(P)) for j in range(P)])
+        sum(Wc[P - 1 + j - p] * Hc[p] for p in range(P)) for j in range(P)])
     got = np.asarray(out)[0] + 1j * np.asarray(out)[1]
     np.testing.assert_allclose(got, ref, atol=2e-5)
-    np.testing.assert_allclose(
-        np.asarray(q2), xw[:, (np.arange(P) - slot0) % P], atol=2e-6)
 
 
 def test_unpermute_inverts_permute(rng):

@@ -37,6 +37,75 @@ def test_timer():
     assert per >= 0.0 and np.asarray(out).shape == (16,)
 
 
+def test_checkpoint_format4_tail_xt_migration(tmp_path, rng):
+    """Format <= 3 NonUniformState checkpoints (tail queue = assembled
+    WINDOW spectra) auto-convert to the format-4 xt-slot layout on load,
+    exactly, and the restored stream continues bit-identically."""
+    import pickle
+
+    from bbcat_dsp_tpu.convolve import NonUniformConvolver
+    from bbcat_dsp_tpu.convolve.fft import half_window_signs
+
+    C, B, ratio = 4, 32, 2
+    B2 = B * ratio
+    N = 2 * ratio * B + 3 * B2
+    ir = rng.standard_normal((C, N)) * 0.3
+    T = 7 * B2
+    x = rng.standard_normal((C, T)).astype(np.float32)
+
+    # run a non-group-aligned number of supers so step % Pt != 0
+    a = NonUniformConvolver(ir, block=B, ratio=ratio)
+    for i in range(7):
+        a.process_block(jnp.asarray(x[:, i * B2:(i + 1) * B2]))
+    st = a.state
+    Pt = a.tail_parts
+    step = int(np.asarray(st.tail.step))
+    assert step % Pt != 0
+
+    # hand-build the OLD-format blob: re-encode the xt-slot queue as the
+    # assembled-window queue formats <= 3 stored.  The oldest window needs
+    # t(step-Pt-1), which the new state no longer holds — any value works
+    # (the migration recursion never reads the oldest window), zeros here.
+    s = np.asarray(half_window_signs(2 * B2, spec=a.spec_tail))
+    q_xt = np.asarray(st.tail.queue)
+    order = (step + np.arange(Pt)) % Pt
+    tc = q_xt[:, order]                          # chronological halves
+    tseq = np.concatenate([np.zeros_like(tc[:, :1]), tc], axis=1)
+    Wc = tseq[:, :-1] + s * tseq[:, 1:]          # W(step-Pt) .. W(step-1)
+    W_slots = np.empty_like(q_xt)
+    W_slots[:, order] = Wc
+    old_leaves = [np.asarray(leaf) for leaf in
+                  __import__("jax").tree.leaves(st)]
+    # replace the tail queue leaf (index: find by shape identity)
+    replaced = False
+    for i, leaf in enumerate(old_leaves):
+        if leaf.shape == q_xt.shape and np.array_equal(leaf, q_xt):
+            old_leaves[i] = W_slots
+            replaced = True
+            break
+    assert replaced
+    p = str(tmp_path / "old_nonuniform.ckpt")
+    import jax
+
+    with open(p, "wb") as fp:
+        pickle.dump({"treedef": jax.tree.flatten(st)[1],
+                     "leaves": old_leaves,
+                     "meta": {"format": 3, "perm_order": 2}}, fp)
+
+    b = NonUniformConvolver(ir, block=B, ratio=ratio)
+    b.state = load_state(p, like=b.state)
+    b._tail_steps = a._tail_steps
+    # queue recovered up to f32 rounding of the +-1 sign arithmetic
+    np.testing.assert_allclose(np.asarray(b.state.tail.queue), q_xt,
+                               atol=1e-5)
+    # stream continues identically to the uninterrupted engine
+    for i in range(7, 9):
+        xa = jnp.asarray(rng.standard_normal((C, B2)).astype(np.float32))
+        ya = np.asarray(a.process_block(xa))
+        yb = np.asarray(b.process_block(xa))
+        np.testing.assert_allclose(yb, ya, atol=1e-5)
+
+
 def test_checkpoint_layout_migration_roundtrip(tmp_path, rng):
     """VERDICT r2 #4: a checkpoint written under the PERMUTED spectral
     layout (TPU default at large block sizes) restores onto a STANDARD
