@@ -199,11 +199,23 @@ def bench_config5():
         )
         return y
 
-    dt = _slope_time(run, n1=1, n2=3)
+    # VERDICT r4 next #4: the chip is time-shared, so one sweep window is
+    # a sample, not a measurement.  Record MULTIPLE spaced windows and
+    # publish min-median; the headline "rtf" field IS the median.
+    import time as _time
+
+    windows = []
+    for w in range(3):
+        if w:
+            _time.sleep(20)
+        windows.append(T / FS / _slope_time(run, n1=1, n2=3))
+    med = sorted(windows)[len(windows) // 2]
     return {
         "config": "5: 1024ch x 64k-tap (single-chip capacity point)",
-        "rtf": T / FS / dt,
-        "samples_per_sec_per_chip": C * T / dt,
+        "rtf": med,
+        "rtf_windows": [round(v, 2) for v in windows],
+        "rtf_min": round(min(windows), 2),
+        "samples_per_sec_per_chip": C * med * FS,
     }
 
 
@@ -227,7 +239,7 @@ def _provenance() -> dict:
         ).stdout.strip() != ""
     except Exception:  # noqa: BLE001
         sha, dirty = "unknown", None
-    return {
+    out = {
         "git_sha": sha,
         "git_dirty": dirty,
         "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -236,6 +248,18 @@ def _provenance() -> dict:
             if k.startswith("BBCAT_DSP_")
         },
     }
+    if dirty:
+        # a dirty tree makes the SHA stamp meaningless (VERDICT r4 weak
+        # #2) — pin the exact code state with a diff hash instead
+        import hashlib
+
+        diff = subprocess.run(
+            ["git", "diff", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=10).stdout
+        out["git_diff_sha256"] = hashlib.sha256(
+            diff.encode()).hexdigest()[:16]
+    return out
 
 
 _CONFIGS = ["bench_config1", "bench_config2", "bench_config3",
@@ -260,10 +284,20 @@ def main(argv=None) -> int:
         print(json.dumps(_run_one(argv[1])))
         return 0
 
+    prov = _provenance()
+    if prov.get("git_dirty") and "--allow-dirty" not in argv:
+        # artifact-discipline rule: BENCH_EXTRA.json must be attributable
+        # to a COMMIT.  Commit first, or pass --allow-dirty to stamp the
+        # working-tree diff hash instead.
+        print("refusing to benchmark a dirty tree (git status --porcelain "
+              "is non-empty); commit first or pass --allow-dirty",
+              file=sys.stderr)
+        return 2
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    results = {"device": str(jax.devices()[0]), "provenance": _provenance()}
+    results = {"device": str(jax.devices()[0]), "provenance": prov}
     isolate = "--no-isolate" not in argv
     for name in _CONFIGS:
         if isolate:
