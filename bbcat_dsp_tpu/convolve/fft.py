@@ -302,7 +302,7 @@ def _rfft_halfwin_large(x: jax.Array, n: int, prec=None,
 _PERM_RADIX = 8
 
 
-def _perm_radix(n: int) -> int | None:
+def _perm_radix(n: int, force: bool = False) -> int | None:
     """Outer radix of the permuted half-window layout for size ``n``, or
     ``None`` when the standard layout applies (small n, or n1 too big for
     a direct stage-3 matrix).
@@ -317,8 +317,14 @@ def _perm_radix(n: int) -> int | None:
     bound keeps n1 inside the Pallas kernels' constant budget
     (``ops.pallas.perm_fft.MAX_KERNEL_N1``); an explicit env radix
     bypasses the window.  Falls back to 8, then std, when the candidates
-    do not divide ``n`` suitably."""
-    if n <= _MAX_DIRECT:
+    do not divide ``n`` suitably.
+
+    ``force`` serves EXPLICIT perm requests (resolve_spectral_spec
+    layout="perm") at sizes the auto resolution leaves on the direct
+    path (n <= _MAX_DIRECT) — e.g. the round-5 head-radix experiment: a
+    radix-r head trades the direct half-window matmul's ~n^2/2 MACs for
+    ~2 n^2/r (complex), a real FLOP cut for r > 4."""
+    if n <= _MAX_DIRECT and not force:
         return None
     import os
 
@@ -490,7 +496,8 @@ def resolve_spectral_spec(
         lay = (ensure_layout_usable(n, b) if probe
                else half_engine_layout(n, b))
     elif layout == "perm":
-        lay = "perm" if (b == "dftmm" and _perm_radix(n)) else "std"
+        lay = ("perm" if (b == "dftmm" and _perm_radix(n, force=True))
+               else "std")
         if lay == "perm" and probe:
             # probe ONLY verifies the program builds — it must not route
             # through half_engine_layout, whose BBCAT_DSP_PERM_LAYOUT=0
@@ -498,7 +505,8 @@ def resolve_spectral_spec(
             lay = _probe_perm_build(n, b)
     else:
         lay = "std"
-    r = _perm_radix(n) if lay == "perm" else None
+    r = (_perm_radix(n, force=(layout == "perm"))
+         if lay == "perm" else None)
     permfft = os.environ.get("BBCAT_DSP_PALLAS_PERMFFT", "auto")
     if r and permfft == "1":
         # loud fence over the WHOLE serve predicate (ceiling, floor, tile
@@ -1049,6 +1057,12 @@ def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None,
     """
     _check_spec(spec, n)
     b = spec.backend if spec else (backend or default_backend())
+    # layout check BEFORE the direct-matmul shortcut: a frozen spec may
+    # explicitly request perm below _MAX_DIRECT (head-radix experiment)
+    if (b == "dftmm"
+            and (spec.layout if spec
+                 else half_engine_layout(n, b)) == "perm"):
+        return _perm_rfft_half(x, n, spec=spec)
     if b == "dftmm" and n <= _MAX_DIRECT:
         cos, msin, _, _ = _mats(n)
         h = n // 2
@@ -1056,9 +1070,6 @@ def rfft_half_planes(x: jax.Array, n: int, backend: str | None = None,
         im = jnp.matmul(x, jnp.asarray(msin[:h]), precision=_PREC)
         return jnp.stack([re, im], axis=0)
     if b == "dftmm":
-        layout = spec.layout if spec else half_engine_layout(n, b)
-        if layout == "perm":
-            return _perm_rfft_half(x, n, spec=spec)
         T = x.shape[-1]
         if T < n // 2:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n // 2 - T)])
