@@ -546,8 +546,21 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
             from jax.sharding import SingleDeviceSharding
 
             def fmt(a):
-                return Format(Layout(tuple(range(a.ndim))),
-                              SingleDeviceSharding(dev))
+                # pin ONLY the leaves the backend will actually commit
+                # row-major: the 4-D spectra stacks (queue/xcarry/H — the
+                # operands the Pallas kernels constrain, hundreds of MB)
+                # and the 2-D signals.  3-D planes ([2, C, F] prev /
+                # pending) stay on auto layout: the device_put path
+                # REFUSES row-major for them on this backend (observed
+                # 2026-08-20: [2,1024,513] commits as (2,0,1) tiled
+                # regardless of the requested layout), so a full pin can
+                # never be satisfied and every call degraded to the
+                # unpinned fallback — whose full-queue relayout
+                # transients then OOM'd under co-tenant HBM pressure.
+                if a.ndim in (2, 4):
+                    return Format(Layout(tuple(range(a.ndim))),
+                                  SingleDeviceSharding(dev))
+                return SingleDeviceSharding(dev)  # layout: compiler's pick
 
             fn = jax.jit(
                 partial(_render_impl, block=block, tail_slot0=tail_slot0,
@@ -580,10 +593,18 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
     # and (measured, warm-process-dependent) sometimes for uncommitted
     # ones too.  Detect it from the arrays' own layout metadata and
     # re-commit once — outputs are pinned, so subsequent calls stay
-    # aligned.
-    if committed_off_row_major((state, H_head, H_tail, x)):
-        state, H_head, H_tail, x = jax.tree.map(
-            device_put_row_major, (state, H_head, H_tail, x))
+    # aligned.  Only the PINNED leaves (2-D/4-D — see fmt above) matter:
+    # 3-D planes ride auto layouts, and re-committing them is at best a
+    # wasted copy (the backend refuses row-major for them anyway).
+    def _recommit(tree):
+        return jax.tree.map(
+            lambda a: device_put_row_major(a) if a.ndim in (2, 4) else a,
+            tree)
+
+    if committed_off_row_major(
+            [l for l in jax.tree.leaves((state, H_head, H_tail, x))
+             if l.ndim in (2, 4)]):
+        state, H_head, H_tail, x = _recommit((state, H_head, H_tail, x))
     try:
         return fn(state, H_head, H_tail, x)
     except ValueError as e:
@@ -592,8 +613,7 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
         # still alive for the retry)
         if "Layout passed to jit" not in str(e):
             raise
-        state, H_head, H_tail, x = jax.tree.map(
-            device_put_row_major, (state, H_head, H_tail, x))
+        state, H_head, H_tail, x = _recommit((state, H_head, H_tail, x))
         try:
             return fn(state, H_head, H_tail, x)
         except ValueError as e2:
