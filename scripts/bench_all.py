@@ -233,7 +233,8 @@ def _provenance() -> dict:
             timeout=10, check=True,
         ).stdout.strip()
         dirty = subprocess.run(
-            ["git", "status", "--porcelain"], capture_output=True, text=True,
+            ["git", "status", "--porcelain", "-uno"],
+            capture_output=True, text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             timeout=10, check=True,
         ).stdout.strip() != ""
@@ -289,8 +290,8 @@ def main(argv=None) -> int:
         # artifact-discipline rule: BENCH_EXTRA.json must be attributable
         # to a COMMIT.  Commit first, or pass --allow-dirty to stamp the
         # working-tree diff hash instead.
-        print("refusing to benchmark a dirty tree (git status --porcelain "
-              "is non-empty); commit first or pass --allow-dirty",
+        print("refusing to benchmark a dirty tree (tracked files "
+              "modified); commit first or pass --allow-dirty",
               file=sys.stderr)
         return 2
 
