@@ -525,6 +525,15 @@ def nonuniform_render_pinned(state: NonUniformState, H_head, H_tail, x,
     boundary.  Pinning removed 3 full-queue copies/render: 21.4x -> 23.3x
     RT at config #5.  Falls back to the plain jit off-TPU or when the
     arrays are sharded (pinning is per-device)."""
+    from ..utils import layouts as _layouts
+
+    if _layouts.row_major_commit_broken:
+        # the backend refused a row-major commit earlier in this process
+        # — the pinned program can never be satisfied, so skip straight
+        # to the auto-layout render (uncommitted operands execute
+        # correctly; see utils/layouts.py)
+        return nonuniform_render(state, H_head, H_tail, x, block,
+                                 tail_slot0=tail_slot0, specs=specs)
     args = (state, H_head, H_tail, x)
     # Build (or fetch) the pinned callable under a fallback guard, but run
     # it OUTSIDE it: the call donates ``state``, so falling back after a

@@ -20,7 +20,13 @@ from __future__ import annotations
 import jax
 
 __all__ = ["default_layout", "device_put_row_major",
-           "committed_off_row_major"]
+           "committed_off_row_major", "row_major_commit_broken"]
+
+# set True the first time the backend refuses a row-major commit (see
+# device_put_row_major); the layout-pinned render paths check it and go
+# straight to their auto-layout fallbacks instead of paying a refused
+# pinned call + re-commit + second refusal on EVERY invocation
+row_major_commit_broken = False
 
 
 def committed_off_row_major(tree) -> bool:
@@ -80,11 +86,37 @@ def device_put_row_major(x):
 
         # device arrays relayout device-side; hosts arrays transfer once
         a = x if isinstance(x, jax.Array) else np.asarray(x)
-        return jax.device_put(
+        out = jax.device_put(
             a,
             Format(Layout(tuple(range(a.ndim))),
                    SingleDeviceSharding(jax.devices()[0])),
         )
+        # VERIFY the commit: the backend can silently return a
+        # twisted-layout array instead of honouring the request (observed
+        # 2026-08-20 for [2,14,1024,4128] under co-tenant HBM pressure —
+        # smaller shapes still committed fine).  A committed-but-twisted
+        # array is the worst outcome: the layout-pinned programs refuse
+        # it AND (measured) feeding it to the Pallas-kernel renders fails
+        # with async InvalidArgument, while a plain UNCOMMITTED transfer
+        # executes correctly.  Prefer correctness: fall back to asarray.
+        try:
+            if (out.format.layout.major_to_minor
+                    != tuple(range(out.ndim))):
+                import warnings
+
+                global row_major_commit_broken
+                row_major_commit_broken = True
+                warnings.warn(
+                    "device_put_row_major: backend returned layout %s for "
+                    "shape %s instead of row-major; using an uncommitted "
+                    "transfer (renders stay correct; per-call relayouts "
+                    "may cost a few %% RTF)" %
+                    (out.format.layout.major_to_minor, out.shape),
+                    RuntimeWarning, stacklevel=2)
+                return jnp.asarray(a)
+        except Exception:
+            pass
+        return out
     except ValueError:  # non-TPU / multi-device: expected, stay quiet
         return jnp.asarray(x)
     except Exception as e:  # pragma: no cover - device-side failure
