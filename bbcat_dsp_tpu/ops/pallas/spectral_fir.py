@@ -227,6 +227,14 @@ def xt_grouped_mac_pallas(
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((2, P, C, F), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, 2 * P - 1, ct, ft), jnp.float32)],
+        # the accumulator reuses the QUEUE's buffer: after this kernel the
+        # caller's queue carry is ``xt`` (nothing reads the old queue
+        # again), each grid step reads only its own (c, f) queue tile
+        # before writing that tile's acc, and the alias keeps peak HBM at
+        # the round-4 level (one fewer 473 MB live buffer at config #5 —
+        # the difference that pushed the render over the co-tenant
+        # free-memory line and failed it with async InvalidArgument)
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(queue, xt, H)
 
