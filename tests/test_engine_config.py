@@ -55,8 +55,13 @@ def test_resolve_layout_override(monkeypatch):
     s = resolve_spectral_spec(8192, backend="dftmm", probe=False,
                               layout="perm")
     assert s.layout == "perm"
-    # ... but not where none does (small n)
+    # round 5: explicit layout="perm" resolves a radix BELOW the direct
+    # size too (the head-radix experiment, docs/PERFORMANCE.md "Round 5")
     s = resolve_spectral_spec(1024, backend="dftmm", probe=False,
+                              layout="perm")
+    assert s.layout == "perm" and s.radix is not None
+    # ... but still not where no radix divides the size
+    s = resolve_spectral_spec(20, backend="dftmm", probe=False,
                               layout="perm")
     assert s.layout == "std"
 
