@@ -106,6 +106,62 @@ def test_checkpoint_format4_tail_xt_migration(tmp_path, rng):
         np.testing.assert_allclose(yb, ya, atol=1e-5)
 
 
+def test_checkpoint_format4_perm_tail_migration(tmp_path, rng):
+    """The format-4 window->xt migration must also invert PERM-layout
+    tails (sign inference from the even bin count: F = n/2 + r)."""
+    import pickle
+
+    import jax
+
+    from bbcat_dsp_tpu.convolve import NonUniformConvolver
+    from bbcat_dsp_tpu.convolve.fft import (
+        half_window_signs,
+        resolve_spectral_spec,
+    )
+
+    C, B, ratio = 4, 256, 8
+    B2 = B * ratio                       # 2*B2 = 4096 -> perm under dftmm
+    sh = resolve_spectral_spec(2 * B, backend="dftmm", probe=False)
+    st = resolve_spectral_spec(2 * B2, backend="dftmm", probe=False,
+                               layout="perm")
+    assert st.layout == "perm"
+    N = 2 * ratio * B + 2 * B2
+    ir = rng.standard_normal((C, N)) * 0.3
+    a = NonUniformConvolver(ir, block=B, ratio=ratio, spectral=(sh, st))
+    x = rng.standard_normal((C, 3 * B2)).astype(np.float32)
+    for i in range(3):
+        a.process_block(jnp.asarray(x[:, i * B2:(i + 1) * B2]))
+    stt = a.state
+    Pt = a.tail_parts
+    step = int(np.asarray(stt.tail.step))
+
+    s = np.asarray(half_window_signs(2 * B2, spec=st))
+    q_xt = np.asarray(stt.tail.queue)
+    assert q_xt.shape[-1] % 2 == 0       # perm layout: even bin count
+    order = (step + np.arange(Pt)) % Pt
+    tc = q_xt[:, order]
+    tseq = np.concatenate([np.zeros_like(tc[:, :1]), tc], axis=1)
+    Wc = tseq[:, :-1] + s * tseq[:, 1:]
+    W_slots = np.empty_like(q_xt)
+    W_slots[:, order] = Wc
+    leaves = [np.asarray(leaf) for leaf in jax.tree.leaves(stt)]
+    for i, leaf in enumerate(leaves):
+        if leaf.shape == q_xt.shape and np.array_equal(leaf, q_xt):
+            leaves[i] = W_slots
+            break
+    p = str(tmp_path / "old_perm_nonuniform.ckpt")
+    with open(p, "wb") as fp:
+        pickle.dump({"treedef": jax.tree.flatten(stt)[1],
+                     "leaves": leaves,
+                     "meta": {"format": 3, "perm_order": 2,
+                              "perm_radix_env": str(st.radix)}}, fp)
+
+    b = NonUniformConvolver(ir, block=B, ratio=ratio, spectral=(sh, st))
+    b.state = load_state(p, like=b.state)
+    np.testing.assert_allclose(np.asarray(b.state.tail.queue), q_xt,
+                               rtol=0, atol=1e-4)
+
+
 def test_checkpoint_layout_migration_roundtrip(tmp_path, rng):
     """VERDICT r2 #4: a checkpoint written under the PERMUTED spectral
     layout (TPU default at large block sizes) restores onto a STANDARD
