@@ -104,6 +104,51 @@ def test_grad_through_kernel_path(rng):
             what)
 
 
+def test_jvp_contract_on_kernel_path(rng):
+    """Forward-mode is intentionally undefined through the kernel hooks
+    (adjoint.py wraps them in ``custom_vjp``, which supports reverse mode
+    only): ``jax.jvp`` must raise rather than silently differentiate a
+    different program, and the documented remedy — ``mac="0"`` specs —
+    must be jvp-capable end-to-end."""
+    import pytest
+
+    from bbcat_dsp_tpu.convolve import NonUniformConvolver
+    from bbcat_dsp_tpu.convolve.fft import resolve_spectral_spec
+    from bbcat_dsp_tpu.convolve.nonuniform import _render_impl
+
+    C, B, ratio = 16, 32, 2
+    B2 = B * ratio
+    N = 2 * ratio * B + 2 * B2
+    irs = rng.standard_normal((C, N)).astype(np.float32) * 0.3
+    x = jnp.asarray(rng.standard_normal((C, 2 * 2 * B2)).astype(np.float32))
+
+    def make(forced: bool):
+        over = dict(mac="1", fused_head="1") if forced else dict(
+            mac="0", fused_head="0")
+        sh = resolve_spectral_spec(
+            2 * B, backend="dftmm", probe=False)._replace(**over)
+        st = resolve_spectral_spec(
+            2 * B2, backend="dftmm", probe=False)._replace(**over)
+        conv = NonUniformConvolver(irs, block=B, ratio=ratio,
+                                   spectral=(sh, st))
+
+        def loss(xs):
+            _, y = _render_impl(conv.state, conv.H_head, conv.H_tail,
+                                xs, B, 0, (sh, st))
+            return jnp.mean(y ** 2)
+
+        return loss
+
+    # kernels forced: jvp raises loudly (jax forbids forward mode through
+    # custom_vjp) instead of running a program that differs from forward
+    with pytest.raises(TypeError):
+        jax.jvp(make(True), (x,), (jnp.ones_like(x),))
+
+    # the documented fallback spec is fully jvp-capable
+    val, tangent = jax.jvp(make(False), (x,), (jnp.ones_like(x),))
+    assert np.isfinite(float(val)) and np.isfinite(float(tangent))
+
+
 def test_gradients_flow_through_iir(rng):
     """Gradients flow through the modal IIR engine (e.g. for matched-EQ
     optimisation of pole/zero parameters)."""
