@@ -29,13 +29,18 @@ from functools import partial
 # (round 4) changed the economics: re-measured at the 64ch x 32k-tap
 # headline geometry, forcing ALL kernels is +23% device RTF (1102 ->
 # 1352x; fused head alone +12%, the rest +11%) and +11 dB SNR (bf16-split
-# HIGH everywhere).  Gates lowered so that geometry engages everything;
-# C < 64 remains unmeasured and keeps the conservative floors via
-# _FUSED_MIN_CH and the whole-channel-tile requirements.
+# HIGH everywhere).  Round 5 closed the C < 64 gap with DEVICE-attributed
+# traces at the same geometry scaled down (BENCH_GATE_SWEEP.json —
+# wall-clock there is relay-noise; device_rtf is the decision column):
+# forcing the full stack wins at EVERY measured C — +4.5% at C=8,
+# +30% at C=16, +41% at C=32, parity at C=64 (gates already open).
+# Floors lowered so those geometries engage; the element floors still
+# keep genuinely tiny shapes (unit-test sizes, F < ~256) on the XLA path
+# where dispatch cost dominates any kernel win.
 _ROT_MIN_PARTS = 8
-_ROT_MIN_ELEMS = 1024 * 1024        # P*C*F per plane
-_HEAD_MIN_ELEMS = 256 * 1024        # P*C*F per plane
-_FUSED_MIN_CH = 64
+_ROT_MIN_ELEMS = 128 * 1024         # P*C*F per plane (C=8 tail: 198k)
+_HEAD_MIN_ELEMS = 64 * 1024         # P*C*F per plane (C=8 head: 65.7k)
+_FUSED_MIN_CH = 8
 
 
 def _mode() -> str:
@@ -56,7 +61,8 @@ def maybe_pallas_mac(xext, H, ratio, mode: str | None = None):
     if mode == "0":
         return None
     _, P, C, F = H.shape
-    if mode != "1" and (P * C * F < _HEAD_MIN_ELEMS or C < 64 or C % 8):
+    if mode != "1" and (P * C * F < _HEAD_MIN_ELEMS
+                        or C < _FUSED_MIN_CH or C % 8):
         return None
     from .ops.pallas import adjoint
 
@@ -119,6 +125,9 @@ def maybe_xt_grouped_mac(queue, xt, H, slot0: int,
         return None
     _, P, C, F = H.shape
     if C % 8 or C < 16:
+        # hard floor (even forced): ct=8 tiling at C=8 is unmeasured AND
+        # the round-5 C=8 sweep cell won +4.5% WITHOUT this kernel, so
+        # auto parity with the measured composite keeps it off there
         return None
     if mode != "1" and (P < 2 or P * C * F < _ROT_MIN_ELEMS):
         return None

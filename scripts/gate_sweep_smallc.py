@@ -8,6 +8,14 @@ headline geometry scaled down to C in {8, 16, 32} with the kernel stack
 
 Each (C, mode) cell runs in its own subprocess (warm-process isolation).
 
+Round 5: at these sizes the renders are dispatch-bound, so the
+wall-clock slope is relay-noise-dominated (STATUS.md round-5 residual).
+Each cell therefore ALSO captures a ``jax.profiler`` trace of one render
+and reports ``device_rtf`` from summed device-op time — the
+contention-immune number the gate decision should key off (same method
+as ``trace_config5.py``; requires a profiler-healthy window, else the
+field is null and wall rtf stands alone).
+
     python scripts/gate_sweep_smallc.py
 
 Writes BENCH_GATE_SWEEP.json.
@@ -26,6 +34,47 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import numpy as np
 
 FS = 48000.0
+
+
+def _device_seconds(run) -> float | None:
+    """Sum of device-side op durations for ONE ``run()`` call, from a
+    jax.profiler trace (same parsing as ``trace_config5.py``).  Returns
+    None when the profiler yields no device events (unhealthy relay
+    windows capture 0-duration traces)."""
+    import glob
+    import gzip
+    import shutil
+
+    import jax
+    import jax.numpy as jnp
+
+    tdir = "/tmp/trace_gate_sweep"
+    shutil.rmtree(tdir, ignore_errors=True)
+    jax.profiler.start_trace(tdir)
+    y = run()
+    float(jnp.sum(y))
+    jax.profiler.stop_trace()
+    try:
+        f = sorted(glob.glob(tdir + "/plugins/profile/*/*.trace.json.gz"))[-1]
+    except IndexError:
+        return None
+    tr = json.load(gzip.open(f))
+    pid_names = {}
+    for e in tr.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "/device" in n.lower()}
+    total = 0.0
+    for e in tr.get("traceEvents", []):
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if dev_pids and e["pid"] not in dev_pids:
+            continue
+        if e.get("name", "?").startswith(("jit_", "XLA Modules", "Steal")):
+            continue
+        total += e["dur"] * 1e-6
+    return total or None
 
 
 def _measure(C: int, forced: bool):
@@ -80,8 +129,11 @@ def _measure(C: int, forced: bool):
         per = (t2 - t1) / 2
         if per > 0.2 * t1:
             break
+    dev = _device_seconds(run)
     return {"C": C, "mode": "forced" if forced else "auto",
-            "rtf": round(T / FS / per, 1)}
+            "rtf": round(T / FS / per, 1),
+            "device_rtf": round(T / FS / dev, 1) if dev else None,
+            "device_ms": round(dev * 1e3, 3) if dev else None}
 
 
 def main() -> int:

@@ -312,7 +312,23 @@ def test_auto_gates_engage_at_headline_geometry(monkeypatch):
                                   z((Pt, C, B2)), mode="auto") is not None
     assert hits == ["fused", "grouped", "gather", "delayed"]
 
-    # below the measured floor (C=32, unmeasured) the fused head stays off
+    # round-5 retune (BENCH_GATE_SWEEP.json, device-attributed): the
+    # scaled-down headline geometries now engage too — C=32 fused head
+    # on (+41% forced-vs-auto device RTF), C=16 grouped MAC on (+30%)
+    hits.clear()
     assert hook.maybe_fused_head(z((32, 8 * B)), z((2, 16, 32, F)),
                                  z((2, 32, F)), z((2, 16, 32, F)), B,
+                                 mode="auto", layout="std") is not None
+    assert hook.maybe_xt_grouped_mac(
+        z((2, Pt, 16, F2)), z((2, Pt, 16, F2)),
+        z((2, Pt, 16, F2)), 0, mode="auto") is not None
+    assert hits == ["fused", "grouped"]
+
+    # genuinely tiny shapes stay on the XLA path: the element floors
+    # (dispatch-dominated unit-test sizes) and the C=8 grouped hard floor
+    assert hook.maybe_fused_head(z((8, 8 * 32)), z((2, 4, 8, 33)),
+                                 z((2, 8, 33)), z((2, 4, 8, 33)), 32,
                                  mode="auto", layout="std") is None
+    assert hook.maybe_xt_grouped_mac(
+        z((2, Pt, 8, F2)), z((2, Pt, 8, F2)),
+        z((2, Pt, 8, F2)), 0, mode="1") is None
